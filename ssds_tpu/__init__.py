@@ -1,0 +1,18 @@
+"""ssds_tpu — a TPU-native single-shot object-detection framework in JAX.
+
+A ground-up rebuild of the capabilities of ``ShuangXieIrene/ssds.pytorch``
+(SSD / SSDLite / FSSD / RFB / YOLO heads over VGG / ResNet / MobileNet /
+DarkNet backbones, VOC/COCO data + eval, YAML experiment configs, train /
+eval / demo entry points) designed idiomatically for TPU:
+
+- flax/linen NHWC models compiled by XLA (fused conv+BN+ReLU, bf16 MXU path)
+- vectorized, vmapped detection math (anchors / matching / multibox loss)
+- fixed-shape greedy NMS (Pallas kernel + lax reference implementation)
+- ``jax.sharding.Mesh`` + jit-with-shardings data parallelism over ICI
+- orbax checkpointing with ``checkpoint_list.txt``-compatible manifests
+
+See SURVEY.md at the repo root for the structural analysis of the reference
+that this package is built to (component inventory in §2).
+"""
+
+__version__ = "0.1.0"

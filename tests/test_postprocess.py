@@ -1,0 +1,73 @@
+import numpy as np
+import jax.numpy as jnp
+
+from ssds_tpu.ops.boxes import center_size, encode
+from ssds_tpu.ops.postprocess import PostProcessConfig, detect
+
+
+def test_detect_recovers_planted_boxes():
+    """Plant confident, well-separated GT boxes; detect must return them."""
+    rng = np.random.default_rng(0)
+    K, C = 64, 5
+    xy = rng.uniform(0.05, 0.6, (K, 2))
+    wh = rng.uniform(0.1, 0.3, (K, 2))
+    priors_corner = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+    priors = np.asarray(center_size(jnp.asarray(priors_corner)))
+
+    planted = np.array([[0.1, 0.1, 0.3, 0.3], [0.6, 0.6, 0.9, 0.9]], np.float32)
+    planted_cls = [1, 3]
+    # loc predictions that decode prior 0 -> planted[0], prior 1 -> planted[1]
+    loc = np.zeros((K, 4), np.float32)
+    loc[0] = np.asarray(encode(jnp.asarray(planted[0:1]), jnp.asarray(priors[0:1])))[0]
+    loc[1] = np.asarray(encode(jnp.asarray(planted[1:2]), jnp.asarray(priors[1:2])))[0]
+    conf = np.full((K, C), 0.001, np.float32)
+    conf[:, 0] = 0.99
+    conf[0, :] = 0.01
+    conf[0, planted_cls[0]] = 0.95
+    conf[1, :] = 0.01
+    conf[1, planted_cls[1]] = 0.90
+
+    cfg = PostProcessConfig(num_classes=C, score_threshold=0.5,
+                            iou_threshold=0.45, max_detections=10)
+    out = np.asarray(detect(jnp.asarray(loc[None]), jnp.asarray(conf[None]),
+                            jnp.asarray(priors), cfg))[0]
+    assert out.shape == (C, 10, 5)
+    # Background row empty.
+    assert (out[0] == 0).all()
+    np.testing.assert_allclose(out[1, 0, 0], 0.95, atol=1e-5)
+    np.testing.assert_allclose(out[1, 0, 1:], planted[0], atol=1e-3)
+    np.testing.assert_allclose(out[3, 0, 0], 0.90, atol=1e-5)
+    np.testing.assert_allclose(out[3, 0, 1:], planted[1], atol=1e-3)
+    # Nothing else above the 0.5 threshold.
+    assert (out[1, 1:, 0] == 0).all() and (out[2, :, 0] == 0).all()
+
+
+def test_detect_nms_suppresses_within_class_only():
+    K, C = 8, 3
+    priors_corner = np.tile(np.array([[0.4, 0.4, 0.6, 0.6]], np.float32), (K, 1))
+    priors = np.asarray(center_size(jnp.asarray(priors_corner)))
+    loc = np.zeros((K, 4), np.float32)
+    conf = np.full((K, C), 0.0, np.float32)
+    conf[0, 1] = 0.9
+    conf[1, 1] = 0.8  # same box, same class -> suppressed
+    conf[2, 2] = 0.7  # same box, other class -> kept
+    cfg = PostProcessConfig(num_classes=C, score_threshold=0.5,
+                            iou_threshold=0.5, max_detections=5)
+    out = np.asarray(detect(jnp.asarray(loc[None]), jnp.asarray(conf[None]),
+                            jnp.asarray(priors), cfg))[0]
+    assert (out[1, :, 0] > 0).sum() == 1
+    assert (out[2, :, 0] > 0).sum() == 1
+
+
+def test_detect_batched_shapes():
+    rng = np.random.default_rng(1)
+    B_, K, C = 4, 32, 4
+    xy = rng.uniform(0.1, 0.7, (K, 2))
+    wh = rng.uniform(0.05, 0.2, (K, 2))
+    priors = np.concatenate([xy, wh], 1).astype(np.float32)
+    loc = rng.normal(0, 0.1, (B_, K, 4)).astype(np.float32)
+    conf = rng.uniform(0, 1, (B_, K, C)).astype(np.float32)
+    cfg = PostProcessConfig(num_classes=C, max_detections=7)
+    out = detect(jnp.asarray(loc), jnp.asarray(conf), jnp.asarray(priors), cfg)
+    assert out.shape == (B_, C, 7, 5)
+    assert np.isfinite(np.asarray(out)).all()
