@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Headline benchmark: SSD300-VGG16 batch-1 inference FPS on one chip.
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+Baseline: the SSD paper's 46 FPS batch-1 on Titan X (BASELINE.md) — the
+reference repo reimplements that model; vs_baseline = our_fps / 46.
+
+The timed program is the full predict path in one jitted function (mean-sub,
+bf16 conv forward, decode, per-class NMS, top-k), uint8 in / dense
+detections out — the reference's ObjectDetector.predict equivalent minus
+host-side image resize.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 46.0  # SSD paper, Titan X, batch 1
+
+
+def main():
+    from ssds_tpu.config import default_config
+    from ssds_tpu.detector import ObjectDetector
+
+    cfg = default_config()
+    cfg.MODEL.SSDS = "ssd"
+    cfg.MODEL.NETS = "vgg16"
+    det = ObjectDetector(cfg)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (1, 300, 300, 3), dtype=np.uint8)
+    x = jnp.asarray(img)
+
+    # warmup (compile happened in the constructor; still warm the caches)
+    for _ in range(10):
+        jax.block_until_ready(det._predict(det.variables, x))
+
+    iters = 200
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(det._predict(det.variables, x))
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    p50 = float(np.percentile(lat, 50))
+    fps = 1.0 / p50
+
+    print(json.dumps({
+        "metric": "ssd300_vgg16_batch1_fps",
+        "value": round(fps, 2),
+        "unit": "images/sec (p50 batch-1, one chip)",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,7 @@ def default_config() -> AttrDict:
             ASPECT_RATIOS=[[2], [2, 3], [2, 3], [2, 3], [2], [2]],
             CLIP=True,
             HALF_PRECISION=True,  # bf16 compute on TPU
+            ANCHORS=[],  # YOLO-only: per-scale pixel (w, h) anchors; [] = paper defaults
         ),
         TRAIN=_ad(
             MAX_EPOCHS=300,

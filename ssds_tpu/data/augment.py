@@ -1,0 +1,213 @@
+"""The SSD train-time augmentation recipe (host-side numpy/cv2).
+
+Behavioral spec source: reference ``lib/utils/data_augment.py`` (SURVEY.md
+§2.6): ``preproc.__call__`` chains
+
+1. ``_crop``    — random IoU-constrained sample crop: pick a min-IoU from
+   ``{None, 0.1, 0.3, 0.5, 0.7, 0.9}``; retry up to 50 times for a crop of
+   scale [0.3, 1] and aspect [0.5, 2] satisfying the constraint; keep only
+   boxes whose CENTERS fall inside; translate/clip kept boxes;
+2. ``_distort`` — random brightness/contrast (RGB) and saturation/hue (HSV);
+3. ``_expand``  — with probability ``prob``, place the image in a 1–4x
+   mean-filled canvas (zoom-out);
+4. ``_mirror``  — horizontal flip + box x-flip;
+5. ``preproc_for_test`` — resize to IMAGE_SIZE, subtract BGR PIXEL_MEANS,
+   keep HWC float32 (the TPU model is NHWC — no CHW transpose).
+
+Empty-target guard (reference behavioral detail): if augmentation leaves no
+surviving boxes, fall back to the unaugmented resize path with the original
+targets; images with genuinely no GT return a single all-zero target row.
+
+Augmentation parity note (SURVEY.md §7 hard parts): the *distribution* is
+ported, not bitwise RNG.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Tuple
+
+import cv2
+import numpy as np
+
+
+def _matrix_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU for corner-form pixel boxes: [A,4] x [B,4] -> [A,B]."""
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = np.prod(np.clip(a[:, 2:] - a[:, :2], 0, None), axis=1)
+    area_b = np.prod(np.clip(b[:, 2:] - b[:, :2], 0, None), axis=1)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / np.maximum(union, 1e-12)
+
+
+def _crop(image, boxes, labels):
+    """Random IoU-constrained sample crop (reference ``_crop``)."""
+    height, width = image.shape[:2]
+    if len(boxes) == 0:
+        return image, boxes, labels
+
+    while True:
+        mode = random.choice((None, (0.1, None), (0.3, None), (0.5, None), (0.7, None), (0.9, None)))
+        if mode is None:
+            return image, boxes, labels
+        min_iou, max_iou = mode
+        min_iou = -float("inf") if min_iou is None else min_iou
+        max_iou = float("inf") if max_iou is None else max_iou
+
+        for _ in range(50):
+            scale = random.uniform(0.3, 1.0)
+            min_ratio = max(0.5, scale * scale)
+            max_ratio = min(2.0, 1.0 / scale / scale)
+            ratio = np.sqrt(random.uniform(min_ratio, max_ratio))
+            w = int(scale * ratio * width)
+            h = int(scale / ratio * height)
+            left = random.randrange(width - w + 1)
+            top = random.randrange(height - h + 1)
+            roi = np.array([left, top, left + w, top + h], dtype=np.float32)
+
+            iou = _matrix_iou(boxes, roi[None])
+            if not (min_iou <= iou.min() and iou.max() <= max_iou):
+                continue
+
+            centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+            mask = np.logical_and(roi[:2] < centers, centers < roi[2:]).all(axis=1)
+            if not mask.any():
+                continue
+
+            image_t = image[roi[1].astype(int):roi[3].astype(int),
+                            roi[0].astype(int):roi[2].astype(int)]
+            boxes_t = boxes[mask].copy()
+            labels_t = labels[mask].copy()
+            boxes_t[:, :2] = np.maximum(boxes_t[:, :2], roi[:2]) - roi[:2]
+            boxes_t[:, 2:] = np.minimum(boxes_t[:, 2:], roi[2:]) - roi[:2]
+            return image_t, boxes_t, labels_t
+
+
+def _distort(image):
+    """Random photometric distortion (reference ``_distort``)."""
+
+    def convert(img, alpha=1.0, beta=0.0):
+        tmp = img.astype(np.float32) * alpha + beta
+        np.clip(tmp, 0, 255, out=tmp)
+        img[:] = tmp
+
+    image = image.copy()
+    if random.randrange(2):
+        convert(image, beta=random.uniform(-32, 32))
+    if random.randrange(2):
+        convert(image, alpha=random.uniform(0.5, 1.5))
+    image = cv2.cvtColor(image, cv2.COLOR_BGR2HSV)
+    if random.randrange(2):
+        convert(image[:, :, 1], alpha=random.uniform(0.5, 1.5))
+    if random.randrange(2):
+        tmp = image[:, :, 0].astype(int) + random.randint(-18, 18)
+        tmp %= 180
+        image[:, :, 0] = tmp
+    return cv2.cvtColor(image, cv2.COLOR_HSV2BGR)
+
+
+def _expand(image, boxes, fill, prob):
+    """Random zoom-out onto a mean-filled canvas (reference ``_expand``)."""
+    if random.random() > prob or len(boxes) == 0:
+        return image, boxes
+    height, width, depth = image.shape
+    for _ in range(50):
+        scale = random.uniform(1.0, 4.0)
+        min_ratio = max(0.5, 1.0 / scale / scale)
+        max_ratio = min(2.0, scale * scale)
+        ratio = np.sqrt(random.uniform(min_ratio, max_ratio))
+        ws = scale * ratio
+        hs = scale / ratio
+        if ws < 1 or hs < 1:
+            continue
+        w = int(ws * width)
+        h = int(hs * height)
+        left = random.randint(0, w - width)
+        top = random.randint(0, h - height)
+        boxes_t = boxes.copy()
+        boxes_t[:, :2] += (left, top)
+        boxes_t[:, 2:] += (left, top)
+        expand_image = np.empty((h, w, depth), dtype=image.dtype)
+        expand_image[:, :] = fill
+        expand_image[top:top + height, left:left + width] = image
+        return expand_image, boxes_t
+    return image, boxes
+
+
+def _mirror(image, boxes):
+    """Random horizontal flip (reference ``_mirror``)."""
+    if random.randrange(2):
+        _, width, _ = image.shape
+        image = image[:, ::-1]
+        boxes = boxes.copy()
+        boxes[:, 0::2] = width - boxes[:, 2::-2]
+    return image, boxes
+
+
+def preproc_for_test(image: np.ndarray, insize: Tuple[int, int], mean) -> np.ndarray:
+    """Resize + BGR mean subtraction, HWC float32 (reference, minus the CHW
+    transpose — the TPU model is NHWC)."""
+    image = cv2.resize(image, (insize[1], insize[0]), interpolation=cv2.INTER_LINEAR)
+    image = image.astype(np.float32) - np.asarray(mean, np.float32)
+    return image
+
+
+class preproc:
+    """Train/eval preprocessing callable (reference ``class preproc``).
+
+    ``p`` (cfg.DATASET.PROB) is the augmentation probability; ``p = -1``
+    selects the eval path (resize + mean-sub only), matching the reference's
+    ``preproc(..., -1)`` convention for the eval loader.
+    """
+
+    def __init__(self, resize, rgb_means, p, max_expand_ratio: float = 4.0):
+        self.resize = (int(resize[0]), int(resize[1]))
+        self.means = rgb_means
+        self.p = p
+
+    def __call__(self, image: np.ndarray, targets: np.ndarray):
+        """image: HWC BGR uint8; targets: [N, 5] pixel (x1,y1,x2,y2,label).
+
+        Returns (image HWC float32, targets [M, 5]) with box coords
+        normalized to [0, 1].
+        """
+        targets = np.asarray(targets, np.float32).reshape(-1, 5)
+        boxes = targets[:, :4].copy()
+        labels = targets[:, 4].copy()
+
+        if self.p == -1 or len(boxes) == 0 or random.random() > self.p:
+            return self._passthrough(image, boxes, labels)
+
+        image_o, boxes_o, labels_o = image, boxes.copy(), labels.copy()
+        image_t, boxes_t, labels_t = _crop(image, boxes, labels)
+        image_t = _distort(image_t)
+        image_t, boxes_t = _expand(image_t, boxes_t, self.means, 0.5)
+        image_t, boxes_t = _mirror(image_t, boxes_t)
+
+        height, width = image_t.shape[:2]
+        image_t = preproc_for_test(image_t, self.resize, self.means)
+        boxes_t = boxes_t.copy()
+        boxes_t[:, 0::2] /= width
+        boxes_t[:, 1::2] /= height
+        # Drop degenerate boxes; empty-target guard falls back to the
+        # unaugmented image (reference behavior).
+        wh = boxes_t[:, 2:4] - boxes_t[:, 0:2]
+        mask = np.minimum(wh[:, 0], wh[:, 1]) > 0.005
+        if not mask.any():
+            return self._passthrough(image_o, boxes_o, labels_o)
+        boxes_t = boxes_t[mask]
+        labels_t = labels_t[mask]
+        return image_t, np.hstack([boxes_t, labels_t[:, None]])
+
+    def _passthrough(self, image, boxes, labels):
+        height, width = image.shape[:2]
+        image = preproc_for_test(image, self.resize, self.means)
+        if len(boxes) == 0:
+            return image, np.zeros((1, 5), np.float32)
+        boxes = boxes.copy()
+        boxes[:, 0::2] /= width
+        boxes[:, 1::2] /= height
+        return image, np.hstack([boxes, labels[:, None]])

@@ -1,0 +1,112 @@
+"""Inference-only ObjectDetector for the demo path.
+
+Behavioral spec source: reference ``lib/ssds.py`` (SURVEY.md §2.2):
+``ObjectDetector.__init__`` = create_model + load RESUME_CHECKPOINT +
+PriorBox + Detect (eval mode); ``predict(img, threshold, check_time)`` =
+preprocess single image → forward → Detect → rescale boxes to the original
+image → score filter, with optional per-stage timing.
+
+TPU-first design (SURVEY.md §7 "latency north star"): everything after the
+host-side resize — mean-subtraction, the conv forward, decode, NMS, top-k —
+is ONE jitted program; the only host↔device traffic is one [1,H,W,3] uint8
+upload and one [C,top_k,5] download.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Tuple
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssds_tpu import checkpoint as ckpt_lib
+from ssds_tpu.models.builder import create_model, create_priors, init_model
+from ssds_tpu.ops.postprocess import PostProcessConfig, detect, detect_decoded
+
+
+class ObjectDetector:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.model, self.feature_maps = create_model(cfg.MODEL)
+        self.is_yolo = str(cfg.MODEL.SSDS).startswith("yolo")
+        self.img_hw = (int(cfg.MODEL.IMAGE_SIZE[0]), int(cfg.MODEL.IMAGE_SIZE[1]))
+        self.half = bool(cfg.MODEL.HALF_PRECISION)
+        priors = None if self.is_yolo else create_priors(cfg.MODEL, self.feature_maps)
+
+        variables = init_model(self.model, cfg.MODEL, jax.random.PRNGKey(0))
+        if cfg.RESUME_CHECKPOINT:
+            variables = ckpt_lib.resume_checkpoint(variables, cfg.RESUME_CHECKPOINT, "")
+        self.variables = variables
+
+        post = PostProcessConfig(
+            num_classes=int(cfg.POST_PROCESS.NUM_CLASSES),
+            background_label=int(cfg.POST_PROCESS.BACKGROUND_LABEL),
+            score_threshold=float(cfg.POST_PROCESS.SCORE_THRESHOLD),
+            iou_threshold=float(cfg.POST_PROCESS.IOU_THRESHOLD),
+            max_detections=int(cfg.POST_PROCESS.MAX_DETECTIONS),
+            variance=tuple(cfg.POST_PROCESS.VARIANCE),
+        )
+        means = jnp.asarray(cfg.DATASET.PIXEL_MEANS, jnp.float32)
+        model, is_yolo, half = self.model, self.is_yolo, self.half
+        priors_j = None if priors is None else jnp.asarray(priors)
+
+        @jax.jit
+        def _predict(variables, img_u8):
+            # img_u8: [1, H, W, 3] uint8 BGR at model input size
+            x = img_u8.astype(jnp.float32) - means
+            if half:
+                x = x.astype(jnp.bfloat16)
+            out = model.apply(variables, x, phase="eval", train=False)
+            if is_yolo:
+                boxes, scores = out
+                return detect_decoded(boxes, scores, post)
+            loc, conf = out
+            return detect(loc, conf, priors_j, post)
+
+        self._predict = _predict
+        # warm-up compile with a dummy input
+        h, w = self.img_hw
+        self._predict(self.variables, jnp.zeros((1, h, w, 3), jnp.uint8)).block_until_ready()
+
+    def predict(self, img: np.ndarray, threshold: float = 0.6, check_time: bool = False):
+        """img: HWC BGR uint8 (any size). Returns (boxes_px [N,4], labels
+        [N], scores [N]) above threshold; with check_time, also a dict of
+        per-stage seconds (preprocess/forward+detect/postfilter/total)."""
+        t_all = time.perf_counter()
+        orig_h, orig_w = img.shape[:2]
+        t0 = time.perf_counter()
+        resized = cv2.resize(img, (self.img_hw[1], self.img_hw[0]),
+                             interpolation=cv2.INTER_LINEAR)
+        x = resized[None].astype(np.uint8)
+        t_pre = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        dets = np.asarray(jax.block_until_ready(self._predict(self.variables, x)))[0]
+        t_fwd = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        scale = np.array([orig_w, orig_h, orig_w, orig_h], np.float32)
+        boxes, labels, scores = [], [], []
+        for c in range(dets.shape[0]):
+            rows = dets[c]
+            keep = rows[:, 0] > threshold
+            for r in rows[keep]:
+                scores.append(float(r[0]))
+                boxes.append(r[1:5] * scale)
+                labels.append(c - 1)  # drop background offset
+        t_post = time.perf_counter() - t0
+        total = time.perf_counter() - t_all
+
+        boxes = np.asarray(boxes).reshape(-1, 4)
+        labels = np.asarray(labels, np.int32)
+        scores = np.asarray(scores, np.float32)
+        if check_time:
+            return (boxes, labels, scores), {
+                "preprocess": t_pre, "forward_detect": t_fwd,
+                "postfilter": t_post, "total": total,
+            }
+        return boxes, labels, scores

@@ -25,7 +25,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ssds_tpu.ops.boxes import iou_pairwise
+from ssds_tpu.ops.boxes import iou_pairwise, jaccard
 
 NEG_INF = jnp.float32(-1e30)
 
@@ -76,3 +76,39 @@ def greedy_nms(
         0, min(top_k, n), body, (active, keep0, ks0, jnp.int32(0))
     )
     return keep, keep_scores, count
+
+
+def sorted_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float = 0.5,
+) -> jnp.ndarray:
+    """Greedy NMS over score-DESCENDING candidates via suppression propagation.
+
+    Equivalent selection to :func:`greedy_nms` when ``scores`` are already
+    sorted descending (which is how the reference's ``nms`` consumes them:
+    it sorts then walks best-first). Instead of an argmax per step, one IoU
+    matrix is computed and a boolean suppression mask is propagated in a
+    static-trip-count loop — O(N^2) vector work that XLA/Pallas map onto the
+    VPU, no gathers.
+
+    Args:
+      boxes:  ``[N, 4]`` corner-form boxes, sorted by descending score.
+      scores: ``[N]`` scores (``<= NEG_INF/2`` marks invalid entries).
+
+    Returns:
+      ``keep [N]`` bool — True where the box survives.
+    """
+    n = boxes.shape[0]
+    valid = scores > NEG_INF / 2
+    ious = jaccard(boxes, boxes)  # [N, N]
+    idx = jnp.arange(n)
+    later = idx[None, :] > idx[:, None]  # strictly-later candidates
+    sup_rows = (ious > iou_threshold) & later  # row i suppresses j>i
+
+    def body(i, suppressed):
+        keep_i = valid[i] & ~suppressed[i]
+        return suppressed | (sup_rows[i] & keep_i)
+
+    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
+    return valid & ~suppressed

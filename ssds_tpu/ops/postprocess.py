@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ssds_tpu.ops.boxes import decode
-from ssds_tpu.ops.nms import NEG_INF, greedy_nms
+from ssds_tpu.ops.nms import NEG_INF, sorted_nms
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,15 +38,21 @@ class PostProcessConfig:
 
 
 def _detect_one_class(decoded, scores, score_threshold, iou_threshold, top_k):
-    """NMS for one (image, class): returns ``[top_k, 5]`` rows (score, box)."""
+    """NMS for one (image, class): returns ``[top_k, 5]`` rows (score, box).
+
+    Candidates are the top_k highest scores (as the reference's nms), already
+    sorted descending by ``lax.top_k``, so greedy selection = suppression
+    propagation (:func:`sorted_nms`). Kept rows are compacted to the front
+    by a stable sort on the keep mask (preserving score order).
+    """
     masked = jnp.where(scores > score_threshold, scores, NEG_INF)
-    # Reference nms considers only the top_k highest-scoring candidates.
     cand_scores, cand_idx = jax.lax.top_k(masked, top_k)
     cand_boxes = decoded[cand_idx]
-    keep, keep_scores, _ = greedy_nms(cand_boxes, cand_scores, iou_threshold, top_k)
-    valid = keep >= 0
-    kept_boxes = jnp.where(valid[:, None], cand_boxes[jnp.maximum(keep, 0)], 0.0)
-    return jnp.concatenate([keep_scores[:, None], kept_boxes], axis=-1)
+    keep = sorted_nms(cand_boxes, cand_scores, iou_threshold)
+    order = jnp.argsort(~keep, stable=True)  # kept-first, score order kept
+    keep_s = keep[order]
+    rows = jnp.concatenate([cand_scores[order, None], cand_boxes[order]], axis=-1)
+    return jnp.where(keep_s[:, None], rows, 0.0)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -81,3 +87,33 @@ def detect(
         return jnp.where(bg[:, None, None], 0.0, per_class)
 
     return jax.vmap(per_image)(loc, conf.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("config",))
+def detect_decoded(
+    boxes: jnp.ndarray,
+    conf: jnp.ndarray,
+    config: PostProcessConfig = PostProcessConfig(),
+) -> jnp.ndarray:
+    """Detect over ALREADY-DECODED boxes (the YOLO eval path, whose decoding
+    is per-cell rather than prior-based — see models/heads/yolo.py).
+
+    Args:
+      boxes: ``[B, K, 4]`` corner-form normalized boxes.
+      conf:  ``[B, K, C]`` class scores (background column included).
+
+    Returns:
+      ``[B, C, top_k, 5]`` dense detections, same contract as :func:`detect`.
+    """
+    top_k = config.max_detections
+
+    def per_image(boxes_i, conf_i):
+        per_class = jax.vmap(
+            lambda s: _detect_one_class(
+                boxes_i, s, config.score_threshold, config.iou_threshold, top_k
+            )
+        )(conf_i.T)
+        bg = jnp.arange(per_class.shape[0]) == config.background_label
+        return jnp.where(bg[:, None, None], 0.0, per_class)
+
+    return jax.vmap(per_image)(boxes.astype(jnp.float32), conf.astype(jnp.float32))

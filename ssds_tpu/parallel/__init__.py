@@ -1,0 +1,8 @@
+from ssds_tpu.parallel.sharding import (
+    batch_sharding,
+    create_mesh,
+    replicate,
+    shard_batch,
+)
+
+__all__ = ["create_mesh", "batch_sharding", "replicate", "shard_batch"]

@@ -1,0 +1,65 @@
+"""The parallelism layer: device mesh + sharding rules.
+
+The reference is single-device only (SURVEY.md §2.8: no DataParallel, no
+torch.distributed). This module supplies what it lacks, TPU-idiomatically:
+
+- **Data parallelism over ICI** as the baseline: a 1-D ``Mesh('data')`` over
+  all visible chips; the batch dimension is sharded over it, parameters are
+  replicated, and XLA compiles the gradient all-reduce onto ICI — the
+  NCCL-equivalent is ``jax.sharding`` + XLA collectives, not hand-rolled
+  transport.
+- Multi-host: call :func:`initialize_distributed` once per process;
+  ``jax.distributed.initialize()`` wires the coordinator and
+  ``jax.devices()`` becomes the global device set.
+
+SP/TP/PP/EP are genuinely not applicable to SSD-class convnets (no sequence
+axis, no experts, model ≪ HBM; SURVEY.md §2.8) — the mesh abstraction is the
+extension point (add axes to ``MESH`` in the config) rather than fabricated
+unused parallelism layers. Spatial sharding of the conv H/W dims is the
+natural TP analogue and can be added as a second mesh axis without changing
+the step function.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def initialize_distributed(coordinator: Optional[str] = None, **kwargs) -> None:
+    """Multi-host bring-up (no-op single-host). The comm-backend layer."""
+    if coordinator:
+        jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
+
+
+def create_mesh(tpu_cfg=None, devices=None) -> Mesh:
+    """Build the device mesh from ``cfg.TPU.MESH`` (``DATA: -1`` = all)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    want = int(tpu_cfg.MESH.DATA) if tpu_cfg is not None else -1
+    if want in (-1, 0):
+        want = n
+    if n % want != 0 and want > n:
+        want = n
+    return Mesh(np.asarray(devices[:want]), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for [B, ...] arrays: batch split over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (parameters, priors, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch pytree with the batch dim sharded over chips."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)

@@ -1,0 +1,459 @@
+"""Training/eval orchestration: the Solver.
+
+Behavioral spec source: reference ``lib/ssds_train.py`` (SURVEY.md §2.2):
+``Solver`` owns the full lifecycle — model + priors + criterion + optimizer +
+scheduler + dataloaders + SummaryWriter; epoch loop with warm-up; checkpoint
+save/restore/auto-resume; phase dispatch over ``cfg.PHASE``
+('train'/'eval'/'test'/'visualize'); TRAINABLE_SCOPE freezing;
+eval-during-train gated by ``cfg.TEST.TEST_SCOPE``; TensorBoard scalars
+``loss_loc`` / ``loss_conf`` / ``lr``.
+
+TPU-first design:
+
+- The per-iteration body is ONE jitted, buffer-donated ``train_step``:
+  forward (bf16 when HALF_PRECISION), vmapped matching, loss, grad, optimizer
+  update — no host sync inside the epoch loop except metric fetches.
+- Data parallelism: batch arrays are device_put with a ``NamedSharding``
+  over the 1-D data mesh; parameters are replicated; XLA inserts the gradient
+  all-reduce over ICI (SURVEY.md §2.8). Single chip is the mesh's degenerate
+  case — the same program.
+- LR schedules are step-indexed closed-form functions (optax-style), so the
+  whole schedule lives inside the compiled update.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import core, struct, traverse_util
+
+from ssds_tpu import checkpoint as ckpt_lib
+from ssds_tpu.config import AttrDict
+from ssds_tpu.data.factory import load_data
+from ssds_tpu.models.builder import create_model, create_priors, init_model
+from ssds_tpu.ops.losses import multibox_loss
+from ssds_tpu.ops.postprocess import PostProcessConfig, detect, detect_decoded
+from ssds_tpu.ops.yolo import yolo_loss
+from ssds_tpu.parallel.sharding import batch_sharding, create_mesh, replicate
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal train state: params + batch_stats + optimizer state + step."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+# --------------------------------------------------------------------------
+# Optimizer / LR schedule configuration (reference configure_optimizer /
+# configure_lr_scheduler, lib/ssds_train.py mid-file)
+# --------------------------------------------------------------------------
+
+
+def configure_lr_scheduler(train_cfg, steps_per_epoch: int):
+    """Step-indexed LR schedule from ``cfg.TRAIN.LR_SCHEDULER`` (+ warm-up).
+
+    Schedulers: step / multi_step / exponential / sgdr (cosine warm
+    restarts), each epoch-granular like the reference, with linear warm-up
+    over WARM_UP_EPOCHS applied per-step.
+    """
+    s = train_cfg.LR_SCHEDULER
+    base = float(train_cfg.OPTIMIZER.LEARNING_RATE)
+    gamma = float(s.GAMMA)
+    lr_min = float(s.LR_MIN)
+    max_epochs = int(train_cfg.MAX_EPOCHS)
+    spe = max(1, steps_per_epoch)
+    kind = str(s.SCHEDULER)
+    steps = [int(x) for x in (s.STEPS or [])]
+
+    def epoch_of(step):
+        return step / spe
+
+    if kind == "step":
+        size = max(1, steps[0] if steps else 1)
+
+        def sched(step):
+            return base * gamma ** jnp.floor(epoch_of(step) / size)
+    elif kind == "multi_step":
+        boundaries = jnp.asarray(sorted(steps), jnp.float32) if steps else jnp.zeros((0,))
+
+        def sched(step):
+            e = epoch_of(step)
+            n = jnp.sum(e >= boundaries) if boundaries.size else 0
+            return base * gamma ** n
+    elif kind == "exponential":
+
+        def sched(step):
+            return base * gamma ** jnp.floor(epoch_of(step))
+    elif kind == "sgdr":
+        # cosine warm restarts; restart period = STEPS[0] epochs (or one full
+        # run when STEPS is empty)
+        period = float(steps[0]) if steps else float(max_epochs)
+
+        def sched(step):
+            t = jnp.mod(epoch_of(step), period) / period
+            return lr_min + 0.5 * (base - lr_min) * (1.0 + jnp.cos(jnp.pi * t))
+    else:
+        raise ValueError(f"unknown LR_SCHEDULER.SCHEDULER={kind!r}")
+
+    warm_epochs = float(s.WARM_UP_EPOCHS)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        lr = sched(step)
+        if warm_epochs > 0:
+            warm_steps = warm_epochs * spe
+            warm = base * (step + 1.0) / warm_steps
+            lr = jnp.where(step < warm_steps, warm, lr)
+        return lr
+
+    return schedule
+
+
+def trainable_mask(params, scope: str):
+    """Pytree of 'train'/'freeze' labels from TRAINABLE_SCOPE (reference
+    ``trainable_param``). If the scope matches nothing, everything trains
+    (guards configs whose scope vocabulary predates a new head)."""
+    flat = traverse_util.flatten_dict(params)
+    labels = {k: ("train" if ckpt_lib.path_in_scope(k, scope) else "freeze") for k in flat}
+    if all(v == "freeze" for v in labels.values()):
+        labels = {k: "train" for k in flat}
+    return traverse_util.unflatten_dict(labels)
+
+
+def configure_optimizer(train_cfg, schedule):
+    """optax chain from ``cfg.TRAIN.OPTIMIZER`` (sgd / rmsprop / adam),
+    with torch-style weight decay and TRAINABLE_SCOPE freezing applied via
+    ``optax.multi_transform``."""
+    o = train_cfg.OPTIMIZER
+    kind = str(o.OPTIMIZER)
+    wd = float(o.WEIGHT_DECAY)
+    momentum = float(o.MOMENTUM)
+    eps = float(getattr(o, "EPS", 1e-8))
+
+    chain = []
+    if wd and kind != "adam":
+        chain.append(optax.add_decayed_weights(wd))
+    if kind == "sgd":
+        chain += [optax.trace(decay=momentum, nesterov=False), optax.scale_by_schedule(schedule),
+                  optax.scale(-1.0)]
+    elif kind == "rmsprop":
+        chain += [optax.scale_by_rms(decay=0.9, eps=eps)]
+        if momentum:
+            chain += [optax.trace(decay=momentum)]
+        chain += [optax.scale_by_schedule(schedule), optax.scale(-1.0)]
+    elif kind == "adam":
+        chain += [optax.scale_by_adam(eps=eps)]
+        if wd:
+            chain += [optax.add_decayed_weights(wd)]
+        chain += [optax.scale_by_schedule(schedule), optax.scale(-1.0)]
+    else:
+        raise ValueError(f"unknown OPTIMIZER.OPTIMIZER={kind!r}")
+    tx = optax.chain(*chain)
+
+    scope = str(train_cfg.TRAINABLE_SCOPE)
+
+    def wrap(params):
+        labels = trainable_mask(params, scope)
+        return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+
+    return wrap
+
+
+def build_train_step(model, priors, is_yolo: bool, img_hw, dtype):
+    """The jitted per-iteration body: forward (bf16 optional) → loss → grad →
+    optimizer update, buffers donated. Shared by the Solver and the
+    multi-chip dry-run entry (``__graft_entry__.dryrun_multichip``)."""
+    anchors = [jnp.asarray(a, jnp.float32) for a in model.anchors] if is_yolo else None
+
+    def train_step(state: TrainState, batch):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out, mut = model.apply(
+                variables, batch["images"].astype(dtype),
+                phase="train", train=True, mutable=["batch_stats"],
+            )
+            if is_yolo:
+                ll, lc = yolo_loss(out, anchors, batch["boxes"], batch["labels"],
+                                   batch["valid"], img_hw)
+            else:
+                loc, conf = out
+                ll, lc = multibox_loss(loc, conf, batch["boxes"], batch["labels"],
+                                       batch["valid"], priors)
+            return ll + lc, (ll, lc, mut.get("batch_stats", state.batch_stats))
+
+        (loss, (ll, lc, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads, new_batch_stats=new_bs)
+        return new_state, {"loss": loss, "loss_l": ll, "loss_c": lc}
+
+    return jax.jit(train_step, donate_argnums=0)
+
+
+# --------------------------------------------------------------------------
+# Solver
+# --------------------------------------------------------------------------
+
+
+class Solver:
+    """Full train/eval lifecycle (reference ``class Solver``)."""
+
+    def __init__(self, cfg: AttrDict):
+        self.cfg = cfg
+        self.mesh = create_mesh(cfg.TPU)
+        self.model, self.feature_maps = create_model(cfg.MODEL)
+        self.is_yolo = str(cfg.MODEL.SSDS).startswith("yolo")
+        self.img_hw = (int(cfg.MODEL.IMAGE_SIZE[0]), int(cfg.MODEL.IMAGE_SIZE[1]))
+        self.priors = None if self.is_yolo else jnp.asarray(
+            create_priors(cfg.MODEL, self.feature_maps))
+        self.compute_dtype = (
+            jnp.bfloat16 if bool(cfg.MODEL.HALF_PRECISION)
+            and str(cfg.TPU.COMPUTE_DTYPE) == "bfloat16" else jnp.float32
+        )
+
+        variables = init_model(self.model, cfg.MODEL, jax.random.PRNGKey(0))
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", core.FrozenDict())
+
+        self.post_cfg = PostProcessConfig(
+            num_classes=int(cfg.POST_PROCESS.NUM_CLASSES),
+            background_label=int(cfg.POST_PROCESS.BACKGROUND_LABEL),
+            score_threshold=float(cfg.POST_PROCESS.SCORE_THRESHOLD),
+            iou_threshold=float(cfg.POST_PROCESS.IOU_THRESHOLD),
+            max_detections=int(cfg.POST_PROCESS.MAX_DETECTIONS),
+            variance=tuple(cfg.POST_PROCESS.VARIANCE),
+        )
+
+        self.exp_dir = cfg.EXP_DIR
+        self.prefix = cfg.CHECKPOINTS_PREFIX
+        os.makedirs(self.exp_dir, exist_ok=True)
+        self.writer = None
+        self.start_epoch = 0
+        self.max_epochs = int(cfg.TRAIN.MAX_EPOCHS)
+
+        self.phases = list(cfg.PHASE)
+        self.loaders = {}
+        self._train_step = None
+        self._eval_forward = None
+        self.state: Optional[TrainState] = None
+
+    # -- data ---------------------------------------------------------------
+
+    def get_loader(self, phase: str):
+        if phase not in self.loaders:
+            bs = int(self.cfg.TRAIN.BATCH_SIZE if phase == "train" else self.cfg.TEST.BATCH_SIZE)
+            self.loaders[phase] = load_data(
+                self.cfg.DATASET, phase,
+                image_size=self.cfg.MODEL.IMAGE_SIZE, batch_size=bs,
+            )
+        return self.loaders[phase]
+
+    # -- state / resume -------------------------------------------------------
+
+    def build_state(self, steps_per_epoch: int):
+        schedule = configure_lr_scheduler(self.cfg.TRAIN, steps_per_epoch)
+        self.lr_schedule = schedule
+        tx = configure_optimizer(self.cfg.TRAIN, schedule)(self.params)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=self.params,
+            batch_stats=self.batch_stats,
+            opt_state=tx.init(self.params),
+            tx=tx,
+        )
+
+    def restore(self):
+        """Auto-resume (checkpoint_list.txt) else RESUME_CHECKPOINT graft
+        (reference find_previous / resume_checkpoint flow)."""
+        previous = ckpt_lib.find_previous(self.exp_dir)
+        variables = {"params": self.params, "batch_stats": self.batch_stats}
+        if previous:
+            epochs, paths = previous
+            self.start_epoch = epochs[-1]
+            restored = ckpt_lib.resume_checkpoint(variables, paths[-1], "")
+            self.params, self.batch_stats = restored["params"], restored["batch_stats"]
+        elif self.cfg.RESUME_CHECKPOINT:
+            restored = ckpt_lib.resume_checkpoint(
+                variables, self.cfg.RESUME_CHECKPOINT, str(self.cfg.TRAIN.RESUME_SCOPE))
+            self.params, self.batch_stats = restored["params"], restored["batch_stats"]
+
+    def save(self, epoch: int):
+        return ckpt_lib.save_checkpoint(
+            self.exp_dir, self.prefix, epoch,
+            {"params": jax.device_get(self.state.params if self.state else self.params),
+             "batch_stats": jax.device_get(
+                 self.state.batch_stats if self.state else self.batch_stats)},
+        )
+
+    # -- compiled steps -------------------------------------------------------
+
+    def make_train_step(self):
+        return build_train_step(
+            self.model, self.priors, self.is_yolo, self.img_hw, self.compute_dtype)
+
+    def make_eval_forward(self):
+        model, priors, is_yolo = self.model, self.priors, self.is_yolo
+        dtype = self.compute_dtype
+        post = self.post_cfg
+
+        @jax.jit
+        def eval_forward(params, batch_stats, images):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(variables, images.astype(dtype), phase="eval", train=False)
+            if is_yolo:
+                boxes, scores = out
+                return detect_decoded(boxes, scores, post)
+            loc, conf = out
+            return detect(loc, conf, priors, post)
+
+        return eval_forward
+
+    # -- epochs ---------------------------------------------------------------
+
+    def _get_writer(self):
+        if self.writer is None:
+            from tensorboardX import SummaryWriter
+
+            os.makedirs(self.cfg.LOG_DIR, exist_ok=True)
+            self.writer = SummaryWriter(log_dir=self.cfg.LOG_DIR)
+        return self.writer
+
+    def train_model(self):
+        loader = self.get_loader("train")
+        steps_per_epoch = len(loader)
+        self.restore()
+        self.build_state(steps_per_epoch)
+        if self._train_step is None:
+            self._train_step = self.make_train_step()
+        writer = self._get_writer()
+        sharding = batch_sharding(self.mesh)
+        warm_up = int(self.cfg.TRAIN.LR_SCHEDULER.WARM_UP_EPOCHS)
+
+        for epoch in range(self.start_epoch + 1, self.max_epochs + 1):
+            t0 = time.time()
+            metrics = self.train_epoch(loader, sharding, epoch, writer)
+            lr = float(self.lr_schedule(int(self.state.step)))
+            print(
+                f"epoch {epoch}/{self.max_epochs} loss_l={metrics['loss_l']:.4f} "
+                f"loss_c={metrics['loss_c']:.4f} lr={lr:.6f} "
+                f"({time.time() - t0:.1f}s)"
+            )
+            writer.add_scalar("Train/loss_loc", metrics["loss_l"], epoch)
+            writer.add_scalar("Train/loss_conf", metrics["loss_c"], epoch)
+            writer.add_scalar("Train/lr", lr, epoch)
+
+            scope = self.cfg.TEST.TEST_SCOPE
+            if "eval" in self.phases and scope[0] <= epoch <= scope[1]:
+                self.eval_epoch(epoch, writer)
+            if epoch % int(self.cfg.TRAIN.CHECKPOINTS_EPOCHS) == 0 or epoch == self.max_epochs:
+                self.save(epoch)
+
+    def train_epoch(self, loader, sharding, epoch, writer=None):
+        sums = {"loss": 0.0, "loss_l": 0.0, "loss_c": 0.0}
+        n = 0
+        for batch in loader:
+            device_batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch)
+            self.state, metrics = self._train_step(self.state, device_batch)
+            n += 1
+            if n % 10 == 0 or n == 1:
+                m = jax.device_get(metrics)
+                for k in sums:
+                    sums[k] += float(m[k])
+        # average over sampled iterations
+        denom = max(1, (n + 9) // 10)
+        return {k: v / denom for k, v in sums.items()}
+
+    def eval_epoch(self, epoch, writer=None):
+        loader = self.get_loader("eval")
+        mAP = self._run_detection_eval(loader)
+        print(f"eval epoch {epoch}: mAP={mAP:.4f}")
+        if writer:
+            writer.add_scalar("Eval/mAP", mAP, epoch)
+        return mAP
+
+    def _run_detection_eval(self, loader):
+        if self._eval_forward is None:
+            self._eval_forward = self.make_eval_forward()
+        params = self.state.params if self.state is not None else self.params
+        batch_stats = self.state.batch_stats if self.state is not None else self.batch_stats
+        dataset = loader.dataset
+        num_classes = self.post_cfg.num_classes
+        n_images = len(dataset)
+        all_boxes = [[[] for _ in range(n_images)] for _ in range(num_classes)]
+        img_index = 0
+        for batch in loader:
+            dets = np.asarray(self._eval_forward(params, batch_stats, batch["images"]))
+            sizes = batch.get("sizes")
+            b = dets.shape[0]
+            for i in range(b):
+                if img_index >= n_images:
+                    break
+                if sizes is not None:
+                    h, w = sizes[i]
+                else:
+                    h, w = self.img_hw
+                scale = np.array([w, h, w, h], np.float32)
+                for c in range(1, num_classes):
+                    rows = dets[i, c]
+                    keep = rows[:, 0] > 0
+                    if not keep.any():
+                        continue
+                    boxes = rows[keep][:, 1:5] * scale
+                    scores = rows[keep][:, 0:1]
+                    all_boxes[c][img_index] = np.hstack([boxes, scores]).astype(np.float32)
+                img_index += 1
+        return dataset.evaluate_detections(all_boxes, self.exp_dir)
+
+    def test_model(self):
+        self.restore()
+        loader = self.get_loader("test")
+        mAP = self._run_detection_eval(loader)
+        print(f"test: mAP={mAP:.4f}")
+        return mAP
+
+    def visualize_epoch(self, epoch=0):
+        """TensorBoard renders: priors + augmented samples (reference
+        ``visualize_epoch``; SURVEY.md §2.7)."""
+        from ssds_tpu.utils.visualize import viz_prior_box, viz_samples
+
+        writer = self._get_writer()
+        if self.priors is not None:
+            viz_prior_box(writer, np.asarray(self.priors), self.img_hw, epoch)
+        loader = self.get_loader("visualize")
+        viz_samples(writer, loader, epoch)
+
+
+def train_model(cfg):
+    s = Solver(cfg)
+    s.train_model()
+    return s
+
+
+def test_model(cfg):
+    s = Solver(cfg)
+    return s.test_model()

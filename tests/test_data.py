@@ -1,0 +1,133 @@
+"""Data-pipeline tests: augmentation invariants, collate, VOC eval math."""
+
+import numpy as np
+import pytest
+
+from ssds_tpu.data.augment import _crop, _expand, _mirror, preproc, preproc_for_test
+from ssds_tpu.data.factory import DetectionLoader, detection_collate
+from ssds_tpu.data.voc_eval import voc_ap
+
+
+def fake_image(h=120, w=160):
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+
+
+def fake_targets():
+    return np.array([[20, 30, 80, 90, 2], [100, 10, 150, 110, 7]], np.float32)
+
+
+def test_preproc_eval_path_shapes_and_normalization():
+    pre = preproc((300, 300), (104, 117, 123), p=-1)
+    img, t = pre(fake_image(), fake_targets())
+    assert img.shape == (300, 300, 3) and img.dtype == np.float32
+    assert t.shape == (2, 5)
+    assert (t[:, :4] >= 0).all() and (t[:, :4] <= 1).all()
+    # labels preserved
+    assert set(t[:, 4]) == {2.0, 7.0}
+
+
+def test_preproc_train_path_survives_and_normalizes():
+    pre = preproc((300, 300), (104, 117, 123), p=1.0)
+    for seed in range(5):
+        import random
+
+        random.seed(seed)
+        img, t = pre(fake_image(), fake_targets())
+        assert img.shape == (300, 300, 3)
+        assert t.shape[1] == 5 and t.shape[0] >= 1
+        assert (t[:, :4] >= -1e-6).all() and (t[:, :4] <= 1 + 1e-6).all()
+
+
+def test_preproc_empty_targets():
+    pre = preproc((300, 300), (104, 117, 123), p=0.6)
+    img, t = pre(fake_image(), np.zeros((0, 5), np.float32))
+    assert t.shape == (1, 5) and not t.any()
+
+
+def test_mirror_flips_boxes():
+    img = fake_image()
+    boxes = fake_targets()[:, :4]
+    import random
+
+    random.seed(1)  # first randrange(2) call must return 1 for a flip
+    flipped_any = False
+    for seed in range(10):
+        random.seed(seed)
+        img2, boxes2 = _mirror(img, boxes)
+        if not np.array_equal(boxes2, boxes):
+            flipped_any = True
+            w = img.shape[1]
+            assert np.allclose(boxes2[:, 0], w - boxes[:, 2])
+            assert np.allclose(boxes2[:, 2], w - boxes[:, 0])
+            assert (boxes2[:, 2] > boxes2[:, 0]).all()
+    assert flipped_any
+
+
+def test_expand_keeps_boxes_inside():
+    import random
+
+    random.seed(3)
+    img = fake_image()
+    boxes = fake_targets()[:, :4]
+    img2, boxes2 = _expand(img, boxes, (104, 117, 123), prob=1.0)
+    assert img2.shape[0] >= img.shape[0] and img2.shape[1] >= img.shape[1]
+    assert (boxes2[:, 2] <= img2.shape[1]).all()
+    assert (boxes2[:, 3] <= img2.shape[0]).all()
+    # box sizes unchanged by pure translation
+    assert np.allclose(boxes2[:, 2:] - boxes2[:, :2], boxes[:, 2:] - boxes[:, :2])
+
+
+def test_detection_collate_padding():
+    samples = [
+        (np.zeros((300, 300, 3), np.float32), np.array([[0.1, 0.1, 0.5, 0.5, 3]]), (480, 640)),
+        (np.zeros((300, 300, 3), np.float32), np.zeros((1, 5), np.float32), (200, 300)),
+    ]
+    b = detection_collate(samples, max_gt=16)
+    assert b["images"].shape == (2, 300, 300, 3)
+    assert b["boxes"].shape == (2, 16, 4)
+    assert b["valid"][0, 0] and b["valid"][0].sum() == 1
+    assert b["valid"][1].sum() == 0  # all-zero sentinel = no GT
+    assert tuple(b["sizes"][0]) == (480, 640)
+
+
+class _ToyDataset:
+    def __init__(self, n=10):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        img = np.full((8, 8, 3), i, np.float32)
+        t = np.array([[0.1, 0.1, 0.2, 0.2, i % 3]], np.float32)
+        return img, t, (8, 8)
+
+
+def test_loader_covers_dataset():
+    loader = DetectionLoader(_ToyDataset(10), batch_size=4, max_gt=4,
+                             shuffle=False, drop_last=False, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3  # 4 + 4 + 2(padded to 4)
+    assert all(b["images"].shape == (4, 8, 8, 3) for b in batches)
+    seen = sorted({int(b["images"][i, 0, 0, 0]) for b in batches for i in range(4)})
+    assert seen == list(range(10))
+
+
+def test_loader_drop_last():
+    loader = DetectionLoader(_ToyDataset(10), batch_size=4, max_gt=4,
+                             shuffle=True, drop_last=True, num_workers=2)
+    assert len(loader) == 2
+    assert len(list(loader)) == 2
+
+
+def test_voc_ap_07_metric():
+    # perfect detector: AP = 1
+    rec = np.array([0.5, 1.0])
+    prec = np.array([1.0, 1.0])
+    assert voc_ap(rec, prec, True) == pytest.approx(1.0)
+    # no recall: AP = 0
+    assert voc_ap(np.array([0.0]), np.array([0.0]), True) == pytest.approx(0.0)
+    # AUC metric on a simple staircase
+    ap = voc_ap(np.array([0.5, 1.0]), np.array([1.0, 0.5]), False)
+    assert ap == pytest.approx(0.75)

@@ -1,0 +1,103 @@
+"""Model-zoo construction/forward tests (tiny geometry for CPU speed)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ssds_tpu.config import default_config
+from ssds_tpu.models.builder import create_model, create_priors, init_model
+
+
+def tiny_cfg(ssds, nets, feature_layer, image=96, ars=None, num_classes=4):
+    cfg = default_config()
+    cfg.MODEL.SSDS = ssds
+    cfg.MODEL.NETS = nets
+    cfg.MODEL.IMAGE_SIZE = [image, image]
+    cfg.MODEL.NUM_CLASSES = num_classes
+    cfg.MODEL.FEATURE_LAYER = feature_layer
+    cfg.MODEL.ASPECT_RATIOS = ars or [[2], [2, 3], [2]]
+    cfg.MODEL.SIZES = [0.2, 0.5, 0.8, 0.95][: len(cfg.MODEL.ASPECT_RATIOS) + 1]
+    return cfg
+
+
+def build_and_forward(cfg, phase="train"):
+    model, fmaps = create_model(cfg.MODEL)
+    variables = init_model(model, cfg.MODEL)
+    h, w = cfg.MODEL.IMAGE_SIZE
+    x = jnp.zeros((1, h, w, 3), jnp.float32)
+    out = model.apply(variables, x, phase=phase, train=False)
+    return model, fmaps, out
+
+
+def test_ssd_vgg_tiny_geometry():
+    cfg = tiny_cfg("ssd", "vgg16", [[22, 34, "S"], [512, 1024, 256]])
+    model, fmaps, (loc, conf) = build_and_forward(cfg)
+    # 96 -> conv4_3 12, conv7 6, extra S 3
+    assert fmaps == [(12, 12), (6, 6), (3, 3)]
+    k = sum(h * w * a for (h, w), a in zip(fmaps, (4, 6, 4)))
+    assert loc.shape == (1, k, 4)
+    assert conf.shape == (1, k, 4)
+    priors = create_priors(cfg.MODEL, fmaps)
+    assert priors.shape == (k, 4)
+
+
+def test_ssd300_classic_counts():
+    cfg = default_config()
+    model, fmaps = create_model(cfg.MODEL)
+    assert fmaps == [(38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)]
+    cfg.MODEL.SIZES = [0.1, 0.2, 0.38, 0.56, 0.74, 0.92, 1.1]
+    priors = create_priors(cfg.MODEL, fmaps)
+    assert priors.shape == (8732, 4)  # the canonical SSD300 anchor count
+
+
+@pytest.mark.parametrize(
+    "nets,fl",
+    [
+        ("mobilenet_v2", [[13, 18, "S"], [96, 1280, 256]]),
+        ("mobilenet_v1", [[11, 13, "S"], [512, 1024, 256]]),
+        ("resnet_18", [[4, 8, "S"], [128, 512, 256]]),
+    ],
+)
+def test_ssd_lite_backbones(nets, fl):
+    cfg = tiny_cfg("ssd_lite", nets, fl, image=128)
+    model, fmaps, (loc, conf) = build_and_forward(cfg)
+    assert loc.ndim == 3 and loc.shape[-1] == 4
+    assert conf.shape[-1] == cfg.MODEL.NUM_CLASSES
+
+
+def test_fssd_builds():
+    fl = [[[22, 34, "S"], [512, 1024, 256]], [["", "S", "0"], [128, 128, 128]]]
+    cfg = tiny_cfg("fssd", "vgg16", fl)
+    model, fmaps, (loc, conf) = build_and_forward(cfg)
+    # pyramid: keep 12, halve 6, shrink 4
+    assert fmaps == [(12, 12), (6, 6), (4, 4)]
+
+
+def test_rfb_builds():
+    cfg = tiny_cfg("rfb", "vgg16", [[22, "R", "S"], [512, 1024, 512]])
+    model, fmaps, (loc, conf) = build_and_forward(cfg)
+    assert fmaps == [(12, 12), (6, 6), (3, 3)]
+
+
+def test_yolo_v3_builds_and_decodes():
+    cfg = tiny_cfg("yolo_v3", "darknet_53", [[14, 23, 28], [256, 512, 1024]],
+                   image=128, ars=[[2], [2], [2]])
+    model, fmaps, raw = build_and_forward(cfg, phase="train")
+    assert fmaps == [(16, 16), (8, 8), (4, 4)]
+    assert len(raw) == 3
+    assert raw[0].shape == (1, 16, 16, 3, 5 + 3)  # 3 classes = NUM_CLASSES-1
+    variables = init_model(model, cfg.MODEL)
+    boxes, scores = model.apply(
+        variables, jnp.zeros((1, 128, 128, 3)), phase="eval", train=False)
+    k = 3 * (16 * 16 + 8 * 8 + 4 * 4)
+    assert boxes.shape == (1, k, 4)
+    assert scores.shape == (1, k, 4)  # bg + 3 classes
+
+
+def test_eval_phase_softmax():
+    cfg = tiny_cfg("ssd", "vgg16", [[22, 34], [512, 1024]], ars=[[2], [2, 3]])
+    model, fmaps, _ = build_and_forward(cfg)
+    variables = init_model(model, cfg.MODEL)
+    x = jnp.zeros((1, 96, 96, 3))
+    _, conf = model.apply(variables, x, phase="eval", train=False)
+    assert jnp.allclose(jnp.sum(conf, axis=-1), 1.0, atol=1e-5)
