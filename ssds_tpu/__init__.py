@@ -9,7 +9,10 @@ eval / demo entry points) designed idiomatically for TPU:
 - vectorized, vmapped detection math (anchors / matching / multibox loss)
 - fixed-shape greedy NMS (Pallas kernel + lax reference implementation)
 - ``jax.sharding.Mesh`` + jit-with-shardings data parallelism over ICI
-- orbax checkpointing with ``checkpoint_list.txt``-compatible manifests
+- msgpack checkpointing with ``checkpoint_list.txt``-compatible manifests,
+  scoped resume, and a torch ``.pth`` importer
+- native C++ host data-plane kernels (``native/``) for the augmentation
+  sampling hot loop
 
 See SURVEY.md at the repo root for the structural analysis of the reference
 that this package is built to (component inventory in §2).

@@ -44,10 +44,26 @@ def _matrix_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def _crop(image, boxes, labels):
-    """Random IoU-constrained sample crop (reference ``_crop``)."""
+    """Random IoU-constrained sample crop (reference ``_crop``).
+
+    Hot path: the sampling retry loop runs in native C++ when
+    ``native/libssd_augment.so`` is available (built automatically); the
+    Python loop below is the fallback and the distribution oracle.
+    """
     height, width = image.shape[:2]
     if len(boxes) == 0:
         return image, boxes, labels
+
+    from ssds_tpu.data import native
+
+    if native.available():
+        res = native.sample_crop(boxes, width, height, seed=random.getrandbits(63))
+        if res is None:
+            return image, boxes, labels
+        roi, mask = res
+        image_t = image[int(roi[1]):int(roi[3]), int(roi[0]):int(roi[2])]
+        boxes_t = native.crop_boxes(boxes[mask], roi)
+        return image_t, boxes_t, labels[mask].copy()
 
     while True:
         mode = random.choice((None, (0.1, None), (0.3, None), (0.5, None), (0.7, None), (0.9, None)))

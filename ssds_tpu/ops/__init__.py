@@ -21,5 +21,6 @@ from ssds_tpu.ops.boxes import (
 from ssds_tpu.ops.anchors import AnchorConfig, generate_anchors, num_anchors_per_cell
 from ssds_tpu.ops.matching import match
 from ssds_tpu.ops.losses import multibox_loss
-from ssds_tpu.ops.nms import greedy_nms
-from ssds_tpu.ops.postprocess import detect
+from ssds_tpu.ops.nms import greedy_nms, sorted_nms
+from ssds_tpu.ops.postprocess import detect, detect_decoded
+from ssds_tpu.ops.yolo import yolo_loss

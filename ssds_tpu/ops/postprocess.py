@@ -7,10 +7,13 @@ run greedy IoU NMS, keep up to ``top_k``; the output is a dense
 ``[B, num_classes, top_k, 5]`` tensor of ``(score, x1, y1, x2, y2)`` rows
 (zeros in unused slots, background row all-zero).
 
-TPU-first design: one jitted program — classes AND images are ``vmap``-ed
-over a fixed-shape NMS (no per-class Python loop, no host sync). Candidate
-selection matches the reference's ``nms`` which considers only the ``top_k``
-highest-scoring boxes per class.
+TPU-first design: ONE jitted program for the whole batch — a single
+``lax.top_k`` over ``[B, C, K]`` scores selects each class's candidates,
+and one batched NMS over all (image × class) slots computes keep masks: the
+Pallas kernel (:mod:`ssds_tpu.ops.pallas.nms`) on TPU, the jnp
+suppression-propagation oracle elsewhere. No per-class Python loop, no host
+sync. Candidate selection matches the reference's ``nms`` which considers
+only the ``top_k`` highest-scoring boxes per class.
 """
 
 from __future__ import annotations
@@ -37,22 +40,61 @@ class PostProcessConfig:
     variance: tuple = (0.1, 0.2)
 
 
-def _detect_one_class(decoded, scores, score_threshold, iou_threshold, top_k):
-    """NMS for one (image, class): returns ``[top_k, 5]`` rows (score, box).
+import os
 
-    Candidates are the top_k highest scores (as the reference's nms), already
-    sorted descending by ``lax.top_k``, so greedy selection = suppression
-    propagation (:func:`sorted_nms`). Kept rows are compacted to the front
-    by a stable sort on the keep mask (preserving score order).
+# The Pallas kernel and the XLA suppression-propagation path compute the
+# same mask; XLA fuses the latter into the surrounding detect program and
+# compiles much faster, so it is the default. Set SSDS_TPU_PALLAS_NMS=1 to
+# route through the standalone Pallas kernel.
+_USE_PALLAS = os.environ.get("SSDS_TPU_PALLAS_NMS", "0") == "1"
+
+
+def _nms_mask(flat_boxes, flat_scores, iou_threshold):
+    """Batched keep mask over [M, N] candidate slots."""
+    if _USE_PALLAS and jax.default_backend() == "tpu":
+        from ssds_tpu.ops.pallas.nms import nms_mask_pallas
+
+        return nms_mask_pallas(flat_boxes, flat_scores, iou_threshold)
+    return jax.vmap(lambda b, s: sorted_nms(b, s, iou_threshold))(flat_boxes, flat_scores)
+
+
+def _detect_batched(boxes_per_class, scores, config: PostProcessConfig):
+    """Shared tail: per-class top-k, batched NMS, compact, zero background.
+
+    boxes_per_class: ``[B, C, K, 4]`` (or ``[B, 1, K, 4]`` broadcast) decoded
+    boxes per class; scores: ``[B, C, K]``.
     """
-    masked = jnp.where(scores > score_threshold, scores, NEG_INF)
-    cand_scores, cand_idx = jax.lax.top_k(masked, top_k)
-    cand_boxes = decoded[cand_idx]
-    keep = sorted_nms(cand_boxes, cand_scores, iou_threshold)
-    order = jnp.argsort(~keep, stable=True)  # kept-first, score order kept
-    keep_s = keep[order]
-    rows = jnp.concatenate([cand_scores[order, None], cand_boxes[order]], axis=-1)
-    return jnp.where(keep_s[:, None], rows, 0.0)
+    b, c, k = scores.shape
+    top_k = min(config.max_detections, k)
+
+    masked = jnp.where(scores > config.score_threshold, scores, NEG_INF)
+    cand_scores, cand_idx = jax.lax.top_k(masked, top_k)  # [B, C, top_k]
+    if boxes_per_class.shape[1] == 1:
+        boxes_per_class = jnp.broadcast_to(
+            boxes_per_class, (b, c) + boxes_per_class.shape[2:])
+    cand_boxes = jnp.take_along_axis(
+        boxes_per_class, cand_idx[..., None], axis=2)  # [B, C, top_k, 4]
+
+    keep = _nms_mask(
+        cand_boxes.reshape(b * c, top_k, 4),
+        cand_scores.reshape(b * c, top_k),
+        config.iou_threshold,
+    ).reshape(b, c, top_k)
+
+    # Compact kept rows to the front (stable: preserves score order).
+    order = jnp.argsort(~keep, axis=-1, stable=True)
+    keep_s = jnp.take_along_axis(keep, order, axis=-1)
+    scores_s = jnp.take_along_axis(cand_scores, order, axis=-1)
+    boxes_s = jnp.take_along_axis(cand_boxes, order[..., None], axis=2)
+    rows = jnp.concatenate([scores_s[..., None], boxes_s], axis=-1)  # [B,C,top_k,5]
+    rows = jnp.where(keep_s[..., None], rows, 0.0)
+
+    bg = jnp.arange(c) == config.background_label
+    out = jnp.where(bg[None, :, None, None], 0.0, rows)
+    if top_k < config.max_detections:
+        pad = config.max_detections - top_k
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return out
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -73,20 +115,9 @@ def detect(
     Returns:
       ``[B, C, top_k, 5]`` dense detections ``(score, x1, y1, x2, y2)``.
     """
-    top_k = config.max_detections
-
-    def per_image(loc_i, conf_i):
-        decoded = decode(loc_i, priors, config.variance)  # [K, 4]
-        per_class = jax.vmap(
-            lambda s: _detect_one_class(
-                decoded, s, config.score_threshold, config.iou_threshold, top_k
-            )
-        )(conf_i.T)  # [C, top_k, 5]
-        # Zero out the background row, as the reference never emits it.
-        bg = jnp.arange(per_class.shape[0]) == config.background_label
-        return jnp.where(bg[:, None, None], 0.0, per_class)
-
-    return jax.vmap(per_image)(loc, conf.astype(jnp.float32))
+    decoded = decode(loc.astype(jnp.float32), priors, config.variance)  # [B, K, 4]
+    scores = jnp.swapaxes(conf.astype(jnp.float32), 1, 2)  # [B, C, K]
+    return _detect_batched(decoded[:, None], scores, config)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -105,15 +136,5 @@ def detect_decoded(
     Returns:
       ``[B, C, top_k, 5]`` dense detections, same contract as :func:`detect`.
     """
-    top_k = config.max_detections
-
-    def per_image(boxes_i, conf_i):
-        per_class = jax.vmap(
-            lambda s: _detect_one_class(
-                boxes_i, s, config.score_threshold, config.iou_threshold, top_k
-            )
-        )(conf_i.T)
-        bg = jnp.arange(per_class.shape[0]) == config.background_label
-        return jnp.where(bg[:, None, None], 0.0, per_class)
-
-    return jax.vmap(per_image)(boxes.astype(jnp.float32), conf.astype(jnp.float32))
+    scores = jnp.swapaxes(conf.astype(jnp.float32), 1, 2)  # [B, C, K]
+    return _detect_batched(boxes.astype(jnp.float32)[:, None], scores, config)
