@@ -37,15 +37,20 @@ def initialize_distributed(coordinator: Optional[str] = None, **kwargs) -> None:
         jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
 
 
-def create_mesh(tpu_cfg=None, devices=None) -> Mesh:
-    """Build the device mesh from ``cfg.TPU.MESH`` (``DATA: -1`` = all)."""
+def create_mesh(tpu_cfg=None, devices=None, batch_size: Optional[int] = None) -> Mesh:
+    """Build the device mesh from ``cfg.TPU.MESH`` (``DATA: -1`` = all).
+
+    When ``batch_size`` is given, the data axis is clipped to the largest
+    device count that divides it (sharding requires batch % devices == 0).
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     want = int(tpu_cfg.MESH.DATA) if tpu_cfg is not None else -1
-    if want in (-1, 0):
+    if want in (-1, 0) or want > n:
         want = n
-    if n % want != 0 and want > n:
-        want = n
+    if batch_size is not None:
+        while want > 1 and batch_size % want != 0:
+            want -= 1
     return Mesh(np.asarray(devices[:want]), (DATA_AXIS,))
 
 

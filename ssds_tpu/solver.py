@@ -222,7 +222,7 @@ class Solver:
 
     def __init__(self, cfg: AttrDict):
         self.cfg = cfg
-        self.mesh = create_mesh(cfg.TPU)
+        self.mesh = create_mesh(cfg.TPU, batch_size=int(cfg.TRAIN.BATCH_SIZE))
         self.model, self.feature_maps = create_model(cfg.MODEL)
         self.is_yolo = str(cfg.MODEL.SSDS).startswith("yolo")
         self.img_hw = (int(cfg.MODEL.IMAGE_SIZE[0]), int(cfg.MODEL.IMAGE_SIZE[1]))
@@ -369,6 +369,8 @@ class Solver:
             scope = self.cfg.TEST.TEST_SCOPE
             if "eval" in self.phases and scope[0] <= epoch <= scope[1]:
                 self.eval_epoch(epoch, writer)
+            if "visualize" in self.phases:
+                self.visualize_epoch(epoch)
             if epoch % int(self.cfg.TRAIN.CHECKPOINTS_EPOCHS) == 0 or epoch == self.max_epochs:
                 self.save(epoch)
 

@@ -1,0 +1,120 @@
+"""Full-lifecycle Solver test on a synthetic on-disk VOC dataset.
+
+Exercises the whole reference workflow (SURVEY.md §3.1/§3.2): yaml config →
+Solver → train epochs (threaded loader, augmentation, jitted step) →
+checkpoint save + manifest → auto-resume → mAP eval through the file-based
+PASCAL protocol (det_*.txt + annotation cache).
+"""
+
+import os
+import xml.etree.ElementTree as ET
+
+import cv2
+import numpy as np
+import pytest
+
+from ssds_tpu.config import cfg_from_file
+from ssds_tpu.data.voc import VOC_CLASSES
+
+
+def make_voc(root, n_images=8, year="2007", split="trainval"):
+    """Synthetic VOCdevkit: images with one bright rectangle (class 'car')."""
+    voc = os.path.join(root, "VOC" + year)
+    os.makedirs(os.path.join(voc, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(voc, "Annotations"), exist_ok=True)
+    os.makedirs(os.path.join(voc, "ImageSets", "Main"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    ids = []
+    for i in range(n_images):
+        name = f"{i:06d}"
+        ids.append(name)
+        img = np.full((120, 160, 3), 30, np.uint8)
+        x1, y1 = int(rng.uniform(10, 60)), int(rng.uniform(10, 40))
+        x2, y2 = x1 + int(rng.uniform(50, 80)), y1 + int(rng.uniform(40, 70))
+        x2, y2 = min(x2, 155), min(y2, 115)
+        img[y1:y2, x1:x2] = (200, 180, 160)
+        cv2.imwrite(os.path.join(voc, "JPEGImages", name + ".jpg"), img)
+
+        ann = ET.Element("annotation")
+        size = ET.SubElement(ann, "size")
+        ET.SubElement(size, "width").text = "160"
+        ET.SubElement(size, "height").text = "120"
+        obj = ET.SubElement(ann, "object")
+        ET.SubElement(obj, "name").text = "car"
+        ET.SubElement(obj, "difficult").text = "0"
+        bb = ET.SubElement(obj, "bndbox")
+        ET.SubElement(bb, "xmin").text = str(x1 + 1)
+        ET.SubElement(bb, "ymin").text = str(y1 + 1)
+        ET.SubElement(bb, "xmax").text = str(x2)
+        ET.SubElement(bb, "ymax").text = str(y2)
+        ET.ElementTree(ann).write(os.path.join(voc, "Annotations", name + ".xml"))
+    for s in (split, "test"):
+        with open(os.path.join(voc, "ImageSets", "Main", s + ".txt"), "w") as f:
+            f.write("\n".join(ids) + "\n")
+    return ids
+
+
+CFG_TEMPLATE = """
+MODEL:
+  SSDS: ssd_lite
+  NETS: mobilenet_v1_025
+  IMAGE_SIZE: [96, 96]
+  NUM_CLASSES: 21
+  FEATURE_LAYER: [[11, 13], [128, 256]]
+  ASPECT_RATIOS: [[2], [2]]
+  SIZES: [0.3, 0.6, 0.9]
+  HALF_PRECISION: False
+TRAIN:
+  MAX_EPOCHS: 2
+  CHECKPOINTS_EPOCHS: 1
+  BATCH_SIZE: 4
+  TRAINABLE_SCOPE: ''
+  OPTIMIZER: {{OPTIMIZER: sgd, LEARNING_RATE: 0.01, MOMENTUM: 0.9, WEIGHT_DECAY: 0.0}}
+  LR_SCHEDULER: {{SCHEDULER: step, STEPS: [100], GAMMA: 1.0, WARM_UP_EPOCHS: 0}}
+TEST: {{BATCH_SIZE: 4, TEST_SCOPE: [1000, 1001]}}
+POST_PROCESS: {{NUM_CLASSES: 21, SCORE_THRESHOLD: 0.01, IOU_THRESHOLD: 0.5, MAX_DETECTIONS: 20}}
+DATASET:
+  DATASET: voc
+  DATASET_DIR: {root}
+  TRAIN_SETS: [['2007', 'trainval']]
+  TEST_SETS: [['2007', 'test']]
+  PROB: 0.6
+  NUM_WORKERS: 2
+  MAX_GT: 8
+EXP_DIR: {exp}
+LOG_DIR: {exp}/logs
+RESUME_CHECKPOINT: ''
+CHECKPOINTS_PREFIX: smoke
+PHASE: ['train']
+"""
+
+
+def test_solver_full_lifecycle(tmp_path):
+    from ssds_tpu.solver import Solver
+
+    root = str(tmp_path / "VOCdevkit")
+    exp = str(tmp_path / "exp")
+    make_voc(root)
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        f.write(CFG_TEMPLATE.format(root=root, exp=exp))
+    cfg = cfg_from_file(cfg_path)
+
+    solver = Solver(cfg)
+    solver.train_model()
+
+    # checkpoints + manifest written
+    manifest = os.path.join(exp, "checkpoint_list.txt")
+    assert os.path.exists(manifest)
+    assert os.path.exists(os.path.join(exp, "smoke_epoch_2.ckpt"))
+
+    # auto-resume: a fresh solver starts from epoch 2 (trains 0 more epochs)
+    solver2 = Solver(cfg)
+    solver2.train_model()
+    assert solver2.start_epoch == 2
+
+    # file-based eval protocol runs end to end and returns a scalar mAP
+    mAP = solver2.test_model()
+    assert 0.0 <= mAP <= 1.0
+    results = os.path.join(exp, "results", "det_test_car.txt")
+    assert os.path.exists(results)
