@@ -19,3 +19,24 @@ that this package is built to (component inventory in §2).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax/flax for config-only use)."""
+    if name in ("Solver", "train_model", "test_model"):
+        from ssds_tpu import solver
+
+        return getattr(solver, name)
+    if name == "ObjectDetector":
+        from ssds_tpu.detector import ObjectDetector
+
+        return ObjectDetector
+    if name in ("cfg", "cfg_from_file", "cfg_from_list"):
+        from ssds_tpu import config
+
+        return getattr(config, name)
+    if name == "create_model":
+        from ssds_tpu.models.builder import create_model
+
+        return create_model
+    raise AttributeError(name)

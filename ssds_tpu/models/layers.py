@@ -200,8 +200,13 @@ class L2Norm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # NOTE: explicit dtype — a weak-typed init (jnp.full without dtype)
+        # changes aval after the first optimizer update and forces two extra
+        # jit recompiles of the train step.
         gamma = self.param(
-            "scale", lambda key, shape: jnp.full(shape, self.scale_init), (x.shape[-1],)
+            "scale",
+            lambda key, shape: jnp.full(shape, self.scale_init, dtype=jnp.float32),
+            (x.shape[-1],),
         )
         norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)) + self.eps
         return (x.astype(jnp.float32) / norm * gamma).astype(x.dtype)

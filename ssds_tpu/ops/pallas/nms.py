@@ -13,6 +13,13 @@ multiple. Per block, 8 IoU matrices ([8, N, N] f32 ≈ 512 KB at N=128) are
 computed on the VPU, then one static N-step ``fori_loop`` propagates all 8
 suppression masks in lockstep — no gathers, no host sync, one kernel for
 every class of every image in the batch.
+
+Measured (v5e, M=168 slots, N=100→128): kernel 0.79 ms, bit-identical to
+the oracle. The XLA-compiled oracle fuses into the surrounding detect
+program and runs 0.32 ms, so XLA remains the production default
+(``SSDS_TPU_PALLAS_NMS=1`` opts in); the kernel stands as the native-NMS
+obligation (SURVEY.md §2.9) and the scaffold for a future fused
+decode+top-k+NMS kernel.
 """
 
 from __future__ import annotations

@@ -142,8 +142,9 @@ def trainable_mask(params, scope: str):
 
 
 def configure_optimizer(train_cfg, schedule):
-    """optax chain from ``cfg.TRAIN.OPTIMIZER`` (sgd / rmsprop / adam),
-    with torch-style weight decay and TRAINABLE_SCOPE freezing applied via
+    """optax chain from ``cfg.TRAIN.OPTIMIZER`` (sgd / rmsprop / adam), with
+    torch-style weight decay, TRAINABLE_SCOPE freezing, and per-scope
+    DIFFERENTIAL_LEARNING_RATE multipliers (``[[scope, mult], ...]``) via
     ``optax.multi_transform``."""
     o = train_cfg.OPTIMIZER
     kind = str(o.OPTIMIZER)
@@ -151,31 +152,44 @@ def configure_optimizer(train_cfg, schedule):
     momentum = float(o.MOMENTUM)
     eps = float(getattr(o, "EPS", 1e-8))
 
-    chain = []
-    if wd and kind != "adam":
-        chain.append(optax.add_decayed_weights(wd))
-    if kind == "sgd":
-        chain += [optax.trace(decay=momentum, nesterov=False), optax.scale_by_schedule(schedule),
-                  optax.scale(-1.0)]
-    elif kind == "rmsprop":
-        chain += [optax.scale_by_rms(decay=0.9, eps=eps)]
-        if momentum:
-            chain += [optax.trace(decay=momentum)]
-        chain += [optax.scale_by_schedule(schedule), optax.scale(-1.0)]
-    elif kind == "adam":
-        chain += [optax.scale_by_adam(eps=eps)]
-        if wd:
-            chain += [optax.add_decayed_weights(wd)]
-        chain += [optax.scale_by_schedule(schedule), optax.scale(-1.0)]
-    else:
-        raise ValueError(f"unknown OPTIMIZER.OPTIMIZER={kind!r}")
-    tx = optax.chain(*chain)
+    def make_tx(mult: float = 1.0):
+        sched = schedule if mult == 1.0 else (lambda s: schedule(s) * mult)
+        chain = []
+        if wd and kind != "adam":
+            chain.append(optax.add_decayed_weights(wd))
+        if kind == "sgd":
+            chain += [optax.trace(decay=momentum, nesterov=False),
+                      optax.scale_by_schedule(sched), optax.scale(-1.0)]
+        elif kind == "rmsprop":
+            chain += [optax.scale_by_rms(decay=0.9, eps=eps)]
+            if momentum:
+                chain += [optax.trace(decay=momentum)]
+            chain += [optax.scale_by_schedule(sched), optax.scale(-1.0)]
+        elif kind == "adam":
+            chain += [optax.scale_by_adam(eps=eps)]
+            if wd:
+                chain += [optax.add_decayed_weights(wd)]
+            chain += [optax.scale_by_schedule(sched), optax.scale(-1.0)]
+        else:
+            raise ValueError(f"unknown OPTIMIZER.OPTIMIZER={kind!r}")
+        return optax.chain(*chain)
 
     scope = str(train_cfg.TRAINABLE_SCOPE)
+    dlr = list(getattr(o, "DIFFERENTIAL_LEARNING_RATE", []) or [])
 
     def wrap(params):
         labels = trainable_mask(params, scope)
-        return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+        transforms = {"train": make_tx(), "freeze": optax.set_to_zero()}
+        flat_labels = traverse_util.flatten_dict(labels)
+        for i, entry in enumerate(dlr):
+            dscope, mult = str(entry[0]), float(entry[1])
+            key = f"dlr{i}"
+            transforms[key] = make_tx(mult)
+            for path, lab in flat_labels.items():
+                if lab == "train" and ckpt_lib.path_in_scope(path, dscope):
+                    flat_labels[path] = key
+        labels = traverse_util.unflatten_dict(flat_labels)
+        return optax.multi_transform(transforms, labels)
 
     return wrap
 

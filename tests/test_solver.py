@@ -120,3 +120,24 @@ def test_sharded_train_step_8_devices():
 
     assert len(jax.devices()) >= 8
     graft.dryrun_multichip(8)
+
+
+def test_differential_learning_rate():
+    tc = train_cfg()
+    tc.TRAINABLE_SCOPE = ""
+    tc.OPTIMIZER.OPTIMIZER = "sgd"
+    tc.OPTIMIZER.MOMENTUM = 0.0
+    tc.OPTIMIZER.WEIGHT_DECAY = 0.0
+    tc.OPTIMIZER.DIFFERENTIAL_LEARNING_RATE = [["base", 0.1]]
+    params = {
+        "base_layers_0": {"kernel": jnp.ones((3,))},
+        "head": {"loc0": {"kernel": jnp.ones((3,))}},
+    }
+    sched = configure_lr_scheduler(tc, 10)
+    tx = configure_optimizer(tc, sched)(params)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    base_u = float(updates["base_layers_0"]["kernel"][0])
+    head_u = float(updates["head"]["loc0"]["kernel"][0])
+    assert base_u == pytest.approx(head_u * 0.1, rel=1e-5)
