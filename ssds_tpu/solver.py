@@ -388,6 +388,12 @@ class Solver:
             if epoch % int(self.cfg.TRAIN.CHECKPOINTS_EPOCHS) == 0 or epoch == self.max_epochs:
                 self.save(epoch)
 
+        # The initial self.params buffers were donated to the first train
+        # step; re-point at the live trained state so later restore()/eval
+        # calls never touch deleted arrays.
+        self.params = self.state.params
+        self.batch_stats = self.state.batch_stats
+
     def train_epoch(self, loader, sharding, epoch, writer=None):
         sums = {"loss": 0.0, "loss_l": 0.0, "loss_c": 0.0}
         n = 0
@@ -446,22 +452,37 @@ class Solver:
         return dataset.evaluate_detections(all_boxes, self.exp_dir)
 
     def test_model(self):
-        self.restore()
+        if self.state is None:
+            self.restore()  # fresh solver: load newest checkpoint
         loader = self.get_loader("test")
         mAP = self._run_detection_eval(loader)
         print(f"test: mAP={mAP:.4f}")
         return mAP
 
     def visualize_epoch(self, epoch=0):
-        """TensorBoard renders: priors + augmented samples (reference
-        ``visualize_epoch``; SURVEY.md §2.7)."""
-        from ssds_tpu.utils.visualize import viz_prior_box, viz_samples
+        """TensorBoard renders: priors + augmented samples + feature maps
+        (reference ``visualize_epoch``; SURVEY.md §2.7)."""
+        from ssds_tpu.utils.visualize import (
+            viz_feature_maps,
+            viz_prior_box,
+            viz_samples,
+        )
 
         writer = self._get_writer()
         if self.priors is not None:
             viz_prior_box(writer, np.asarray(self.priors), self.img_hw, epoch)
         loader = self.get_loader("visualize")
         viz_samples(writer, loader, epoch)
+        params = self.state.params if self.state is not None else self.params
+        batch_stats = self.state.batch_stats if self.state is not None else self.batch_stats
+        for batch in loader:
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            feats = self.model.apply(
+                variables, jnp.asarray(batch["images"][:1]), phase="feature", train=False)
+            viz_feature_maps(writer, [np.asarray(f) for f in feats], epoch)
+            break
 
 
 def train_model(cfg):

@@ -65,11 +65,11 @@ MODEL:
   SIZES: [0.3, 0.6, 0.9]
   HALF_PRECISION: False
 TRAIN:
-  MAX_EPOCHS: 2
-  CHECKPOINTS_EPOCHS: 1
+  MAX_EPOCHS: {epochs}
+  CHECKPOINTS_EPOCHS: {ckpt_epochs}
   BATCH_SIZE: 4
   TRAINABLE_SCOPE: ''
-  OPTIMIZER: {{OPTIMIZER: sgd, LEARNING_RATE: 0.01, MOMENTUM: 0.9, WEIGHT_DECAY: 0.0}}
+  OPTIMIZER: {{OPTIMIZER: sgd, LEARNING_RATE: 0.02, MOMENTUM: 0.9, WEIGHT_DECAY: 0.0}}
   LR_SCHEDULER: {{SCHEDULER: step, STEPS: [100], GAMMA: 1.0, WARM_UP_EPOCHS: 0}}
 TEST: {{BATCH_SIZE: 4, TEST_SCOPE: [1000, 1001]}}
 POST_PROCESS: {{NUM_CLASSES: 21, SCORE_THRESHOLD: 0.01, IOU_THRESHOLD: 0.5, MAX_DETECTIONS: 20}}
@@ -78,7 +78,7 @@ DATASET:
   DATASET_DIR: {root}
   TRAIN_SETS: [['2007', 'trainval']]
   TEST_SETS: [['2007', 'test']]
-  PROB: 0.6
+  PROB: {prob}
   NUM_WORKERS: 2
   MAX_GT: 8
 EXP_DIR: {exp}
@@ -97,7 +97,7 @@ def test_solver_full_lifecycle(tmp_path):
     make_voc(root)
     cfg_path = str(tmp_path / "cfg.yml")
     with open(cfg_path, "w") as f:
-        f.write(CFG_TEMPLATE.format(root=root, exp=exp))
+        f.write(CFG_TEMPLATE.format(root=root, exp=exp, epochs=2, ckpt_epochs=1, prob=0.6))
     cfg = cfg_from_file(cfg_path)
 
     solver = Solver(cfg)
@@ -118,3 +118,23 @@ def test_solver_full_lifecycle(tmp_path):
     assert 0.0 <= mAP <= 1.0
     results = os.path.join(exp, "results", "det_test_car.txt")
     assert os.path.exists(results)
+
+
+def test_solver_overfit_reaches_high_ap(tmp_path):
+    """SURVEY.md §4: a tiny synthetic dataset must reach high AP after a few
+    hundred steps — the offline stand-in for the VOC mAP oracle."""
+    from ssds_tpu.solver import Solver
+
+    root = str(tmp_path / "VOCdevkit")
+    exp = str(tmp_path / "exp")
+    make_voc(root, n_images=8)
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        # no augmentation (PROB -1): pure overfit of 8 fixed images
+        f.write(CFG_TEMPLATE.format(root=root, exp=exp, epochs=75, ckpt_epochs=75, prob=-1))
+    cfg = cfg_from_file(cfg_path)
+
+    solver = Solver(cfg)
+    solver.train_model()  # 75 epochs x 2 steps = 150 steps
+    mAP = solver.test_model()
+    assert mAP > 0.8, f"overfit mAP too low: {mAP}"
