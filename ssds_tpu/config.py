@@ -111,6 +111,7 @@ def default_config() -> AttrDict:
             MESH=_ad(DATA=-1),  # -1: all visible devices on the data axis
             COMPUTE_DTYPE="bfloat16",
             DONATE=True,
+            DEBUG_NANS=False,  # jax debug_nans mode (SURVEY.md §5 sanitizer note)
         ),
         EXP_DIR="./experiments/models/ssd_vgg16_voc",
         LOG_DIR="./experiments/models/ssd_vgg16_voc/logs",

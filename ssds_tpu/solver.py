@@ -236,6 +236,8 @@ class Solver:
 
     def __init__(self, cfg: AttrDict):
         self.cfg = cfg
+        if bool(cfg.TPU.get("DEBUG_NANS", False)):
+            jax.config.update("jax_debug_nans", True)
         self.mesh = create_mesh(cfg.TPU, batch_size=int(cfg.TRAIN.BATCH_SIZE))
         self.model, self.feature_maps = create_model(cfg.MODEL)
         self.is_yolo = str(cfg.MODEL.SSDS).startswith("yolo")
@@ -428,9 +430,20 @@ class Solver:
         n_images = len(dataset)
         all_boxes = [[[] for _ in range(n_images)] for _ in range(num_classes)]
         img_index = 0
-        for batch in loader:
-            dets = np.asarray(self._eval_forward(params, batch_stats, batch["images"]))
-            sizes = batch.get("sizes")
+
+        def forward_batches():
+            # One-deep pipeline: dispatch batch k+1's forward before fetching
+            # batch k — the host transfer overlaps device compute.
+            pending = None
+            for batch in loader:
+                out = self._eval_forward(params, batch_stats, batch["images"])
+                if pending is not None:
+                    yield np.asarray(pending[0]), pending[1]
+                pending = (out, batch.get("sizes"))
+            if pending is not None:
+                yield np.asarray(pending[0]), pending[1]
+
+        for dets, sizes in forward_batches():
             b = dets.shape[0]
             for i in range(b):
                 if img_index >= n_images:
