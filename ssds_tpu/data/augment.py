@@ -175,8 +175,14 @@ class preproc:
     """Train/eval preprocessing callable (reference ``class preproc``).
 
     ``p`` (cfg.DATASET.PROB) is the augmentation probability; ``p = -1``
-    selects the eval path (resize + mean-sub only), matching the reference's
+    selects the eval path (resize only), matching the reference's
     ``preproc(..., -1)`` convention for the eval loader.
+
+    TPU-first delta: images are emitted as RESIZED UINT8 (no mean
+    subtraction) — the mean-sub runs on device inside the jitted step, so
+    the host→device transfer is 4x smaller (the tunnel moves ~1.5 GB/s;
+    a float32 batch-32 would cost ~23 ms/step). ``rgb_means`` is kept for
+    the expand fill, matching the reference's mean-filled canvas.
     """
 
     def __init__(self, resize, rgb_means, p, max_expand_ratio: float = 4.0):
@@ -184,11 +190,16 @@ class preproc:
         self.means = rgb_means
         self.p = p
 
+    def _resize(self, image: np.ndarray) -> np.ndarray:
+        return cv2.resize(
+            image, (self.resize[1], self.resize[0]), interpolation=cv2.INTER_LINEAR
+        )
+
     def __call__(self, image: np.ndarray, targets: np.ndarray):
         """image: HWC BGR uint8; targets: [N, 5] pixel (x1,y1,x2,y2,label).
 
-        Returns (image HWC float32, targets [M, 5]) with box coords
-        normalized to [0, 1].
+        Returns (image HWC uint8 at model size, targets [M, 5]) with box
+        coords normalized to [0, 1].
         """
         targets = np.asarray(targets, np.float32).reshape(-1, 5)
         boxes = targets[:, :4].copy()
@@ -204,7 +215,7 @@ class preproc:
         image_t, boxes_t = _mirror(image_t, boxes_t)
 
         height, width = image_t.shape[:2]
-        image_t = preproc_for_test(image_t, self.resize, self.means)
+        image_t = self._resize(image_t)
         boxes_t = boxes_t.copy()
         boxes_t[:, 0::2] /= width
         boxes_t[:, 1::2] /= height
@@ -220,7 +231,7 @@ class preproc:
 
     def _passthrough(self, image, boxes, labels):
         height, width = image.shape[:2]
-        image = preproc_for_test(image, self.resize, self.means)
+        image = self._resize(image)
         if len(boxes) == 0:
             return image, np.zeros((1, 5), np.float32)
         boxes = boxes.copy()

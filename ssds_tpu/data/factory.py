@@ -44,7 +44,8 @@ def detection_collate(samples, max_gt: int) -> dict:
     as a ragged list (SURVEY.md §2.6); here the ragged list becomes padded
     dense arrays for XLA.
     """
-    images = np.stack([s[0] for s in samples]).astype(np.float32)
+    # dtype preserved: the pipeline emits uint8 and the device does mean-sub
+    images = np.stack([s[0] for s in samples])
     b = len(samples)
     boxes = np.zeros((b, max_gt, 4), np.float32)
     labels = np.zeros((b, max_gt), np.int32)

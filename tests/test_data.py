@@ -20,7 +20,8 @@ def fake_targets():
 def test_preproc_eval_path_shapes_and_normalization():
     pre = preproc((300, 300), (104, 117, 123), p=-1)
     img, t = pre(fake_image(), fake_targets())
-    assert img.shape == (300, 300, 3) and img.dtype == np.float32
+    # uint8 out: mean-sub happens on device (4x smaller host->device copy)
+    assert img.shape == (300, 300, 3) and img.dtype == np.uint8
     assert t.shape == (2, 5)
     assert (t[:, :4] >= 0).all() and (t[:, :4] <= 1).all()
     # labels preserved
