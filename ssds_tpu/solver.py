@@ -441,12 +441,17 @@ class Solver:
         all_boxes = [[[] for _ in range(n_images)] for _ in range(num_classes)]
         img_index = 0
 
+        sharding = batch_sharding(self.mesh) if len(self.mesh.devices) > 1 else None
+
         def forward_batches():
             # One-deep pipeline: dispatch batch k+1's forward before fetching
             # batch k — the host transfer overlaps device compute.
             pending = None
             for batch in loader:
-                out = self._eval_forward(params, batch_stats, batch["images"])
+                images = batch["images"]
+                if sharding is not None and images.shape[0] % len(self.mesh.devices) == 0:
+                    images = jax.device_put(images, sharding)
+                out = self._eval_forward(params, batch_stats, images)
                 if pending is not None:
                     yield np.asarray(pending[0]), pending[1]
                 pending = (out, batch.get("sizes"))
