@@ -69,27 +69,38 @@ class DetectionLoader:
     """Threaded, prefetching batch loader over a map-style dataset."""
 
     def __init__(self, dataset, batch_size: int, max_gt: int, shuffle: bool,
-                 drop_last: bool, num_workers: int = 4, seed: int = 0):
+                 drop_last: bool, num_workers: int = 4, seed: int = 0,
+                 shard_id: int = 0, num_shards: int = 1):
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # PER-PROCESS batch size
         self.max_gt = max_gt
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.epoch = 0
+        # multi-host data sharding: every process sees the same permutation
+        # (same seed) and takes its interleaved slice
+        self.shard_id = shard_id
+        self.num_shards = max(1, num_shards)
+
+    def _shard_indices(self):
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            rng = random.Random(self.seed + self.epoch)
+            rng.shuffle(idx)
+        if self.num_shards > 1:
+            idx = idx[self.shard_id::self.num_shards]
+        return idx
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batch_indices(self):
-        idx = list(range(len(self.dataset)))
-        if self.shuffle:
-            rng = random.Random(self.seed + self.epoch)
-            rng.shuffle(idx)
+        idx = self._shard_indices()
         batches = []
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i:i + self.batch_size]
@@ -137,7 +148,8 @@ class DetectionLoader:
             next_bi += 1
 
 
-def load_data(dataset_cfg, phase: str, image_size=None, batch_size: int = 32) -> DetectionLoader:
+def load_data(dataset_cfg, phase: str, image_size=None, batch_size: int = 32,
+              shard_id: int = 0, num_shards: int = 1) -> DetectionLoader:
     """Build the phase's loader (reference ``load_data(cfg.DATASET, phase)``).
 
     ``phase``: 'train' (TRAIN_SETS, augmentation PROB), 'eval'/'test'
@@ -165,4 +177,6 @@ def load_data(dataset_cfg, phase: str, image_size=None, batch_size: int = 32) ->
         shuffle=shuffle,
         drop_last=drop_last,
         num_workers=int(dataset_cfg.NUM_WORKERS),
+        shard_id=shard_id,
+        num_shards=num_shards,
     )

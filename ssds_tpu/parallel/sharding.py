@@ -65,6 +65,16 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch pytree with the batch dim sharded over chips."""
+    """Device-put a host batch pytree with the batch dim sharded over chips.
+
+    Single-process: a plain sharded device_put. Multi-host: each process
+    contributes its PROCESS-LOCAL slice of the global batch (the loader is
+    sharded by process — see ``load_data(..., shard_id, num_shards)``) and
+    ``make_array_from_process_local_data`` assembles the global array.
+    """
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)), batch
+    )

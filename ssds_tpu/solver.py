@@ -41,7 +41,7 @@ from ssds_tpu.models.builder import create_model, create_priors, init_model
 from ssds_tpu.ops.losses import multibox_loss
 from ssds_tpu.ops.postprocess import PostProcessConfig, detect, detect_decoded
 from ssds_tpu.ops.yolo import yolo_loss
-from ssds_tpu.parallel.sharding import batch_sharding, create_mesh, replicate
+from ssds_tpu.parallel.sharding import batch_sharding, create_mesh, replicate, shard_batch
 
 
 class TrainState(struct.PyTreeNode):
@@ -287,9 +287,16 @@ class Solver:
     def get_loader(self, phase: str):
         if phase not in self.loaders:
             bs = int(self.cfg.TRAIN.BATCH_SIZE if phase == "train" else self.cfg.TEST.BATCH_SIZE)
+            # Multi-host: BATCH_SIZE is the GLOBAL batch; each process loads
+            # its interleaved dataset shard and 1/N of the batch.
+            procs = jax.process_count()
+            if phase == "train" and procs > 1:
+                bs = max(1, bs // procs)
             self.loaders[phase] = load_data(
                 self.cfg.DATASET, phase,
                 image_size=self.cfg.MODEL.IMAGE_SIZE, batch_size=bs,
+                shard_id=jax.process_index() if phase == "train" else 0,
+                num_shards=procs if phase == "train" else 1,
             )
         return self.loaders[phase]
 
@@ -410,8 +417,7 @@ class Solver:
         sums = {"loss": 0.0, "loss_l": 0.0, "loss_c": 0.0}
         n = 0
         for batch in loader:
-            device_batch = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, sharding), batch)
+            device_batch = shard_batch(batch, self.mesh)
             self.state, metrics = self._train_step(self.state, device_batch)
             n += 1
             if n % 10 == 0 or n == 1:

@@ -132,3 +132,16 @@ def test_voc_ap_07_metric():
     # AUC metric on a simple staircase
     ap = voc_ap(np.array([0.5, 1.0]), np.array([1.0, 0.5]), False)
     assert ap == pytest.approx(0.75)
+
+
+def test_loader_process_sharding_covers_dataset():
+    """Multi-host: interleaved shards are disjoint and jointly complete."""
+    seen = []
+    for shard in range(2):
+        loader = DetectionLoader(_ToyDataset(12), batch_size=3, max_gt=4,
+                                 shuffle=True, drop_last=False, num_workers=1,
+                                 shard_id=shard, num_shards=2)
+        assert len(loader) == 2
+        for b in loader:
+            seen += [int(b["images"][i, 0, 0, 0]) for i in range(3)]
+    assert sorted(set(seen)) == list(range(12))
