@@ -74,6 +74,8 @@ def default_config() -> AttrDict:
                 MOMENTUM=0.9,
                 WEIGHT_DECAY=0.0005,
                 EPS=1e-8,
+                CLIP_GRADIENT=0.0,  # global-norm clip; 0 = off
+
             ),
             LR_SCHEDULER=_ad(
                 SCHEDULER="step",

@@ -63,8 +63,13 @@ def decode_scale(
 
 
 def _bce_logits(logits, targets):
-    """Elementwise binary cross-entropy from logits (stable)."""
-    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    """Elementwise binary cross-entropy from logits (stable).
+
+    softplus(x) - x*t: gradient is exactly ``sigmoid(x) - t`` everywhere.
+    (The max(x,0)+log1p(exp(-|x|)) form has a spurious zero subgradient at
+    x == 0 — |x| and max cancel — which freezes logits initialized at 0.)
+    """
+    return jax.nn.softplus(logits) - logits * targets
 
 
 def yolo_loss(

@@ -152,9 +152,13 @@ def configure_optimizer(train_cfg, schedule):
     momentum = float(o.MOMENTUM)
     eps = float(getattr(o, "EPS", 1e-8))
 
+    clip = float(getattr(o, "CLIP_GRADIENT", 0.0) or 0.0)
+
     def make_tx(mult: float = 1.0):
         sched = schedule if mult == 1.0 else (lambda s: schedule(s) * mult)
         chain = []
+        if clip > 0:
+            chain.append(optax.clip_by_global_norm(clip))
         if wd and kind != "adam":
             chain.append(optax.add_decayed_weights(wd))
         if kind == "sgd":

@@ -1,0 +1,128 @@
+"""YOLO decode/loss numerics + a tiny YOLO train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssds_tpu.ops.yolo import decode_scale, yolo_loss
+
+
+def test_decode_scale_centers_and_sizes():
+    # one cell grid 2x2, one anchor of 32x64 px, image 64x64
+    raw = np.zeros((1, 2, 2, 1, 7), np.float32)  # C=2
+    # cell (0,1) [row 0, col 1]: tx=ty=0 -> sigmoid 0.5 -> center (1.5/2, 0.5/2)
+    anchors = jnp.asarray([[32.0, 64.0]])
+    boxes, obj, cls = decode_scale(jnp.asarray(raw), anchors, (64, 64))
+    boxes = np.asarray(boxes).reshape(2, 2, 4)
+    c01 = boxes[0, 1]
+    cx, cy = (c01[0] + c01[2]) / 2, (c01[1] + c01[3]) / 2
+    assert cx == pytest.approx(1.5 / 2)
+    assert cy == pytest.approx(0.5 / 2)
+    # size: anchor 32x64 at tw=th=0 -> exp(0)=1 -> 0.5 x 1.0 normalized
+    assert c01[2] - c01[0] == pytest.approx(0.5)
+    assert c01[3] - c01[1] == pytest.approx(1.0)
+    assert np.allclose(np.asarray(obj), 0.5)
+
+
+def synthetic_setup():
+    anchors = [jnp.asarray([[16.0, 16.0]]), jnp.asarray([[64.0, 64.0]])]
+    # scales: 8x8 grid (stride 8) and 4x4 grid (stride 16), image 64
+    raw = [jnp.zeros((2, 8, 8, 1, 8), jnp.float32), jnp.zeros((2, 4, 4, 1, 8), jnp.float32)]
+    # GT: one small box (16px ~ anchor0), one large (56px ~ anchor1)
+    gt_boxes = jnp.asarray([
+        [[0.25, 0.25, 0.5, 0.5], [0.1, 0.1, 0.975, 0.975]],
+        [[0.0, 0.0, 0.25, 0.25], [0, 0, 0, 0]],
+    ], jnp.float32)
+    gt_labels = jnp.asarray([[0, 2], [1, 0]], jnp.int32)
+    gt_valid = jnp.asarray([[True, True], [True, False]])
+    return anchors, raw, gt_boxes, gt_labels, gt_valid
+
+
+def test_yolo_loss_finite_and_positive():
+    anchors, raw, gt_b, gt_l, gt_v = synthetic_setup()
+    ll, lc = yolo_loss(raw, anchors, gt_b, gt_l, gt_v, (64, 64))
+    assert np.isfinite(float(ll)) and float(ll) > 0
+    assert np.isfinite(float(lc)) and float(lc) > 0
+
+
+def test_yolo_loss_decreases_with_gradient_steps():
+    anchors, raw, gt_b, gt_l, gt_v = synthetic_setup()
+
+    def loss(raws):
+        ll, lc = yolo_loss(raws, anchors, gt_b, gt_l, gt_v, (64, 64))
+        return ll + lc
+
+    g = jax.jit(jax.value_and_grad(loss))
+    raws = raw
+    first = None
+    # lr bounded by the quadratic coord term's curvature
+    # (2 * coord_weight * box_scale ≈ 20 → lr << 0.1)
+    for i in range(500):
+        val, grads = g(raws)
+        if first is None:
+            first = float(val)
+        raws = jax.tree_util.tree_map(lambda r, gr: r - 0.03 * gr, raws, grads)
+    last = float(loss(raws))
+    assert last < first / 4, (first, last)
+
+
+def test_yolo_loss_ignores_high_iou_nonbest():
+    """Cells whose decoded box overlaps GT above the ignore threshold must
+    contribute NO objectness loss (neither positive nor negative)."""
+    anchors = [jnp.asarray([[32.0, 32.0]])]
+    raw = jnp.zeros((1, 2, 2, 1, 7), jnp.float32)
+    # GT centered on cell (0,0), exactly anchor sized (stride 32, image 64)
+    gt_b = jnp.asarray([[[0.0, 0.0, 0.5, 0.5]]], jnp.float32)
+    gt_l = jnp.zeros((1, 1), jnp.int32)
+    gt_v = jnp.ones((1, 1), bool)
+    _, lc_with = yolo_loss([raw], anchors, gt_b, gt_l, gt_v, (64, 64),
+                           ignore_threshold=0.5)
+    # lowering the ignore threshold to 0 ignores ALL negatives
+    _, lc_ignore_all = yolo_loss([raw], anchors, gt_b, gt_l, gt_v, (64, 64),
+                                 ignore_threshold=-1.0)
+    assert float(lc_ignore_all) < float(lc_with)
+
+
+def test_yolo_train_step_tiny():
+    """A real YOLO v3 head + backbone takes one jitted train step."""
+    import optax
+
+    from ssds_tpu.config import default_config
+    from ssds_tpu.models.builder import create_model, init_model
+    from ssds_tpu.solver import TrainState, build_train_step
+
+    cfg = default_config()
+    cfg.MODEL.SSDS = "yolo_v3"
+    cfg.MODEL.NETS = "mobilenet_v1_025"
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.MODEL.FEATURE_LAYER = [[5, 11, 13], [64, 128, 256]]
+    cfg.MODEL.ANCHORS = [[[10, 13]], [[30, 61]], [[116, 90]]]
+    model, fmaps = create_model(cfg.MODEL)
+    assert fmaps == [(8, 8), (4, 4), (2, 2)]
+    variables = init_model(model, cfg.MODEL, jax.random.PRNGKey(0))
+
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.sgd(0.001, momentum=0.9))
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]), tx=tx)
+    step = build_train_step(model, None, True, (64, 64), jnp.float32)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.normal(0, 30, (2, 64, 64, 3)), jnp.float32),
+        "boxes": jnp.asarray([[[0.2, 0.2, 0.6, 0.6]], [[0.1, 0.1, 0.4, 0.5]]]),
+        "labels": jnp.zeros((2, 1), jnp.int32),
+        "valid": jnp.ones((2, 1), bool),
+    }
+    # Wiring/stability check: gradients flow through the 3-scale head and
+    # the clipped update stays finite and bounded. (Numerical descent of the
+    # loss itself is proven in test_yolo_loss_decreases_with_gradient_steps;
+    # 8 steps of batch-2 BN training is too noisy to assert monotonicity.)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert max(losses) < losses[0] * 5, losses
