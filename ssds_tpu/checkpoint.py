@@ -59,19 +59,66 @@ def path_in_scope(path: Tuple[str, ...], scope: str) -> bool:
 
 
 def save_checkpoint(exp_dir: str, prefix: str, epoch: int, variables: dict) -> str:
-    """Write ``{exp_dir}/{prefix}_epoch_{epoch}.ckpt`` + manifest line."""
+    """Write ``{exp_dir}/{prefix}_epoch_{epoch}.ckpt`` + manifest line.
+
+    Atomic: serialize to ``.tmp`` then rename, and append the manifest line
+    only after the payload is durable — a preempted save never yields a
+    manifest entry pointing at a torn file (``find_previous`` resumes from
+    the previous intact checkpoint).
+    """
     os.makedirs(exp_dir, exist_ok=True)
     variables = dict(variables)
     variables["epoch"] = epoch
     name = f"{prefix}_epoch_{epoch}.ckpt"
     path = os.path.join(exp_dir, name)
     data = serialization.to_bytes(variables)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
     manifest = os.path.join(exp_dir, "checkpoint_list.txt")
     with open(manifest, "a") as f:
         f.write(f"epoch {epoch}:{name}\n")
     return path
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writer: the device->host fetch happens on the
+    caller thread (cheap, pipelined), serialization + disk IO on a worker —
+    training never stalls on checkpoint writes. ``wait()`` joins the queue
+    (called at end of training and before reading a just-saved file)."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            exp_dir, prefix, epoch, variables = item
+            try:
+                save_checkpoint(exp_dir, prefix, epoch, variables)
+            except Exception as e:  # pragma: no cover - best effort logging
+                print(f"async checkpoint save failed: {e}")
+            finally:
+                self._q.task_done()
+
+    def save(self, exp_dir: str, prefix: str, epoch: int, variables: dict) -> None:
+        import jax
+
+        host_vars = jax.device_get(variables)
+        self._q.put((exp_dir, prefix, epoch, host_vars))
+
+    def wait(self) -> None:
+        self._q.join()
 
 
 def find_previous(exp_dir: str):

@@ -284,6 +284,7 @@ class Solver:
         self.loaders = {}
         self._train_step = None
         self._eval_forward = None
+        self._checkpointer = None
         self.state: Optional[TrainState] = None
 
     # -- data ---------------------------------------------------------------
@@ -334,11 +335,12 @@ class Solver:
             self.params, self.batch_stats = restored["params"], restored["batch_stats"]
 
     def save(self, epoch: int):
-        return ckpt_lib.save_checkpoint(
+        if self._checkpointer is None:
+            self._checkpointer = ckpt_lib.AsyncCheckpointer()
+        self._checkpointer.save(
             self.exp_dir, self.prefix, epoch,
-            {"params": jax.device_get(self.state.params if self.state else self.params),
-             "batch_stats": jax.device_get(
-                 self.state.batch_stats if self.state else self.batch_stats)},
+            {"params": self.state.params if self.state else self.params,
+             "batch_stats": self.state.batch_stats if self.state else self.batch_stats},
         )
 
     # -- compiled steps -------------------------------------------------------
@@ -416,6 +418,8 @@ class Solver:
         # calls never touch deleted arrays.
         self.params = self.state.params
         self.batch_stats = self.state.batch_stats
+        if self._checkpointer is not None:
+            self._checkpointer.wait()  # all checkpoint writes durable
 
     def train_epoch(self, loader, sharding, epoch, writer=None):
         sums = {"loss": 0.0, "loss_l": 0.0, "loss_c": 0.0}
