@@ -37,6 +37,17 @@ SCOPE_PREFIXES = {
 }
 
 
+def _name_matches(name: str, prefix: str) -> bool:
+    """Module-name match: exact, '<prefix>_*' (list entries like
+    base_layers_0 vs 'base'... handled via SCOPE_PREFIXES), or
+    '<prefix><digits>' (loc0/conf2 style heads). A bare longer word
+    ('conf_adapter' vs scope 'conf') does NOT match."""
+    if name == prefix or name.startswith(prefix + "_"):
+        return True
+    tail = name[len(prefix):]
+    return name.startswith(prefix) and tail.isdigit() and tail != ""
+
+
 def path_in_scope(path: Tuple[str, ...], scope: str) -> bool:
     """Does a flattened variable path fall under a scope string
     (e.g. 'base,norm,extras')? Empty scope matches everything."""
@@ -49,11 +60,12 @@ def path_in_scope(path: Tuple[str, ...], scope: str) -> bool:
                 if joined.startswith(prefix):
                     return True
             else:
-                first = str(path[0])
-                if first == prefix or first.startswith(prefix + "_") or first.startswith(prefix):
-                    # 'head.loc0' style: also check second level for loc/conf
+                if _name_matches(str(path[0]), prefix):
                     return True
-                if len(path) > 1 and str(path[0]) == "head" and str(path[1]).startswith(prefix):
+                # 'head.loc0' style: also check second level for loc/conf
+                if len(path) > 1 and str(path[0]) == "head" and _name_matches(
+                    str(path[1]), prefix
+                ):
                     return True
     return False
 

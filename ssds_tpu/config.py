@@ -150,11 +150,13 @@ def _merge_a_into_b(a: dict, b: AttrDict, path: str = "") -> None:
             if old_t is not new_t:
                 if isinstance(old, (tuple, list)) and isinstance(v, (tuple, list)):
                     v = old_t(v)
+                elif isinstance(old, bool) and isinstance(v, int):
+                    v = bool(v)  # yaml `CLIP: 1` for a bool key
                 elif isinstance(old, float) and isinstance(v, int):
                     v = float(v)
                 elif isinstance(old, np.ndarray):
                     v = np.array(v, dtype=old.dtype)
-                elif not (isinstance(old, bool) and isinstance(v, bool)):
+                else:
                     raise TypeError(
                         f"config key {full}: type mismatch ({old_t.__name__} vs {new_t.__name__})"
                     )

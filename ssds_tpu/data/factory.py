@@ -11,20 +11,19 @@ TPU-first deltas from the reference's torch DataLoader:
 - **Static shapes**: ``detection_collate`` pads per-image targets to
   ``MAX_GT`` rows with a validity mask instead of returning ragged lists —
   one XLA program per phase, no recompiles (SURVEY.md §7 hard parts).
-- **Threaded prefetch** instead of worker *processes*: cv2's imread/resize
-  release the GIL, so threads saturate decode without pickling overhead; a
-  bounded queue keeps ``PREFETCH`` batches ready so the accelerator never
-  waits on the host.
+- **Fork-based worker processes** (like the reference's torch DataLoader):
+  the augmentation pipeline's numpy/python portions hold the GIL, so threads
+  cannot scale it — measured 313 samples/s single-thread DEGRADING with
+  threads; a fork pool parallelizes cleanly and streams pickled uint8
+  batches back (~0.27 MB each).
 - Train batches drop the last partial batch (shape stability); eval pads the
   final batch and reports the true count.
 """
 
 from __future__ import annotations
 
-import queue
 import random
-import threading
-from typing import Iterator, Tuple
+from typing import Iterator
 
 import numpy as np
 
@@ -33,9 +32,6 @@ from ssds_tpu.data.coco import COCODetection
 from ssds_tpu.data.voc import VOCDetection
 
 dataset_map = {"voc": VOCDetection, "coco": COCODetection}
-
-PREFETCH = 4
-
 
 def detection_collate(samples, max_gt: int) -> dict:
     """Stack images; pad targets to ``[B, max_gt]`` with a validity mask.
@@ -65,20 +61,55 @@ def detection_collate(samples, max_gt: int) -> dict:
     return {"images": images, "boxes": boxes, "labels": labels, "valid": valid, "sizes": sizes}
 
 
+# -- process-pool plumbing (fork): the dataset is inherited by the children,
+# batches come back pickled. Threads cannot parallelize the numpy/python
+# parts of augmentation (GIL); processes can — same reason torch DataLoader
+# uses worker processes.
+_WORKER_DATASET = None
+_WORKER_MAX_GT = None
+
+
+def _worker_init(dataset, max_gt, seed):
+    global _WORKER_DATASET, _WORKER_MAX_GT
+    _WORKER_DATASET = dataset
+    _WORKER_MAX_GT = max_gt
+    import os
+
+    random.seed((os.getpid() * 1000003) ^ seed)
+    np.random.seed((os.getpid() * 7919 + seed) % (2**32))
+
+
+def _worker_make_batch(task):
+    bi, chunk = task
+    samples = [_WORKER_DATASET[i] for i in chunk]
+    return bi, detection_collate(samples, _WORKER_MAX_GT)
+
+
 class DetectionLoader:
-    """Threaded, prefetching batch loader over a map-style dataset."""
+    """Prefetching batch loader over a map-style dataset.
+
+    ``num_workers > 0`` uses a fork process pool (true parallelism for the
+    augmentation pipeline); ``num_workers = 0`` loads inline (tests,
+    debugging)."""
 
     def __init__(self, dataset, batch_size: int, max_gt: int, shuffle: bool,
                  drop_last: bool, num_workers: int = 4, seed: int = 0,
                  shard_id: int = 0, num_shards: int = 1):
+        import os
+
         self.dataset = dataset
         self.batch_size = batch_size  # PER-PROCESS batch size
         self.max_gt = max_gt
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self.num_workers = max(1, num_workers)
+        # Worker processes only help with spare cores; on a 1-2 core host
+        # the fork/pickle overhead makes them a net loss — load inline.
+        cores = len(os.sched_getaffinity(0)) if hasattr(os, "sched_getaffinity") else (
+            os.cpu_count() or 1)
+        self.num_workers = 0 if cores <= 2 else min(max(0, num_workers), cores - 1)
         self.seed = seed
         self.epoch = 0
+        self._pool = None
         # multi-host data sharding: every process sees the same permutation
         # (same seed) and takes its interleaved slice
         self.shard_id = shard_id
@@ -107,45 +138,61 @@ class DetectionLoader:
             if len(chunk) < self.batch_size:
                 if self.drop_last:
                     continue
-                chunk = chunk + chunk[: self.batch_size - len(chunk)]  # pad by wrap
+                # pad by wrapping (repeatedly, for remainders < batch/2) so
+                # eval batches keep ONE static shape — no extra XLA compile
+                while len(chunk) < self.batch_size:
+                    chunk = chunk + chunk[: self.batch_size - len(chunk)]
             batches.append(chunk)
         return batches
+
+    def _get_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(
+                self.num_workers,
+                initializer=_worker_init,
+                initargs=(self.dataset, self.max_gt, self.seed),
+            )
+        return self._pool
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._batch_indices()
         self.epoch += 1
-        out_q: "queue.Queue" = queue.Queue(maxsize=PREFETCH)
-        task_q: "queue.Queue" = queue.Queue()
-        for bi, b in enumerate(batches):
-            task_q.put((bi, b))
-        results = {}
-        lock = threading.Lock()
-
-        def worker():
-            while True:
-                try:
-                    bi, chunk = task_q.get_nowait()
-                except queue.Empty:
-                    return
+        if self.num_workers == 0:
+            for chunk in batches:
                 samples = [self.dataset[i] for i in chunk]
-                batch = detection_collate(samples, self.max_gt)
-                with lock:
-                    results[bi] = batch
+                yield detection_collate(samples, self.max_gt)
+            return
 
-        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
-        for t in threads:
-            t.start()
-
+        pool = self._get_pool()
+        tasks = list(enumerate(batches))
+        # imap with modest chunking: results stream back in completion
+        # order; reorder to batch order with a small buffer (bounded by the
+        # pool size, so memory stays ~num_workers batches).
+        results = {}
         next_bi = 0
-        import time
+        try:
+            for bi, batch in pool.imap_unordered(_worker_make_batch, tasks):
+                results[bi] = batch
+                while next_bi in results:
+                    yield results.pop(next_bi)
+                    next_bi += 1
+        except Exception as e:
+            self._pool.terminate()
+            self._pool = None
+            raise RuntimeError("data worker failed") from e
         while next_bi < len(batches):
-            with lock:
-                batch = results.pop(next_bi, None)
-            if batch is None:
-                time.sleep(0.002)
-                continue
-            yield batch
+            yield results.pop(next_bi)
             next_bi += 1
+
+    def __del__(self):
+        try:
+            if self._pool is not None:
+                self._pool.terminate()
+        except Exception:
+            pass  # interpreter teardown
 
 
 def load_data(dataset_cfg, phase: str, image_size=None, batch_size: int = 32,

@@ -68,6 +68,10 @@ def _detect_batched(boxes_per_class, scores, config: PostProcessConfig):
     top_k = min(config.max_detections, k)
 
     masked = jnp.where(scores > config.score_threshold, scores, NEG_INF)
+    # Background slot: mask its scores up front so its top-k gather and NMS
+    # propagation are all-invalid no-ops (the row is zeroed below anyway).
+    bg_col = jnp.arange(c) == config.background_label
+    masked = jnp.where(bg_col[None, :, None], NEG_INF, masked)
     cand_scores, cand_idx = jax.lax.top_k(masked, top_k)  # [B, C, top_k]
     if boxes_per_class.shape[1] == 1:
         boxes_per_class = jnp.broadcast_to(

@@ -41,7 +41,7 @@ from ssds_tpu.models.builder import create_model, create_priors, init_model
 from ssds_tpu.ops.losses import multibox_loss
 from ssds_tpu.ops.postprocess import PostProcessConfig, detect, detect_decoded
 from ssds_tpu.ops.yolo import yolo_loss
-from ssds_tpu.parallel.sharding import batch_sharding, create_mesh, replicate, shard_batch
+from ssds_tpu.parallel.sharding import batch_sharding, create_mesh, shard_batch
 
 
 class TrainState(struct.PyTreeNode):
@@ -311,8 +311,11 @@ class Solver:
         schedule = configure_lr_scheduler(self.cfg.TRAIN, steps_per_epoch)
         self.lr_schedule = schedule
         tx = configure_optimizer(self.cfg.TRAIN, schedule)(self.params)
+        # Resume continues the step-indexed LR schedule (incl. warm-up) from
+        # the restored epoch, not from step 0.
+        start_step = self.start_epoch * steps_per_epoch
         self.state = TrainState(
-            step=jnp.zeros((), jnp.int32),
+            step=jnp.asarray(start_step, jnp.int32),
             params=self.params,
             batch_stats=self.batch_stats,
             opt_state=tx.init(self.params),
@@ -390,7 +393,6 @@ class Solver:
             self._train_step = self.make_train_step()
         writer = self._get_writer()
         sharding = batch_sharding(self.mesh)
-        warm_up = int(self.cfg.TRAIN.LR_SCHEDULER.WARM_UP_EPOCHS)
 
         for epoch in range(self.start_epoch + 1, self.max_epochs + 1):
             t0 = time.time()
@@ -424,16 +426,17 @@ class Solver:
     def train_epoch(self, loader, sharding, epoch, writer=None):
         sums = {"loss": 0.0, "loss_l": 0.0, "loss_c": 0.0}
         n = 0
+        samples = 0
         for batch in loader:
             device_batch = shard_batch(batch, self.mesh)
             self.state, metrics = self._train_step(self.state, device_batch)
             n += 1
             if n % 10 == 0 or n == 1:
                 m = jax.device_get(metrics)
+                samples += 1
                 for k in sums:
                     sums[k] += float(m[k])
-        # average over sampled iterations
-        denom = max(1, (n + 9) // 10)
+        denom = max(1, samples)
         return {k: v / denom for k, v in sums.items()}
 
     def eval_epoch(self, epoch, writer=None):
@@ -455,7 +458,14 @@ class Solver:
         all_boxes = [[[] for _ in range(n_images)] for _ in range(num_classes)]
         img_index = 0
 
-        sharding = batch_sharding(self.mesh) if len(self.mesh.devices) > 1 else None
+        # Shard eval over the mesh only single-process: with multiple hosts
+        # the result would span non-addressable devices and could not be
+        # fetched with np.asarray (each host evaluates on its local device).
+        sharding = (
+            batch_sharding(self.mesh)
+            if len(self.mesh.devices) > 1 and jax.process_count() == 1
+            else None
+        )
 
         def forward_batches():
             # One-deep pipeline: dispatch batch k+1's forward before fetching
@@ -517,12 +527,13 @@ class Solver:
         viz_samples(writer, loader, epoch)
         params = self.state.params if self.state is not None else self.params
         batch_stats = self.state.batch_stats if self.state is not None else self.batch_stats
+        means = np.asarray(tuple(self.cfg.DATASET.PIXEL_MEANS), np.float32)
         for batch in loader:
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
-            feats = self.model.apply(
-                variables, jnp.asarray(batch["images"][:1]), phase="feature", train=False)
+            images = jnp.asarray(batch["images"][:1].astype(np.float32) - means)
+            feats = self.model.apply(variables, images, phase="feature", train=False)
             viz_feature_maps(writer, [np.asarray(f) for f in feats], epoch)
             break
 

@@ -62,3 +62,14 @@ def test_cfg_from_list():
     assert c.MODEL.SSDS == "rfb"
     with pytest.raises(KeyError):
         cfg_from_list(["TRAIN.NOPE", 1])
+
+
+def test_bool_coercion_from_int(tmp_path):
+    import yaml
+    from ssds_tpu.config import cfg_from_file
+
+    p = tmp_path / "c.yml"
+    p.write_text("MODEL:\n  CLIP: 1\n  HALF_PRECISION: 0\n")
+    c = cfg_from_file(str(p))
+    assert c.MODEL.CLIP is True
+    assert c.MODEL.HALF_PRECISION is False

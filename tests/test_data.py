@@ -145,3 +145,27 @@ def test_loader_process_sharding_covers_dataset():
         for b in loader:
             seen += [int(b["images"][i, 0, 0, 0]) for i in range(3)]
     assert sorted(set(seen)) == list(range(12))
+
+
+class _BrokenDataset(_ToyDataset):
+    def __getitem__(self, i):
+        if i == 5:
+            raise ValueError("corrupt image")
+        return super().__getitem__(i)
+
+
+def test_loader_propagates_worker_errors():
+    loader = DetectionLoader(_BrokenDataset(8), batch_size=4, max_gt=4,
+                             shuffle=False, drop_last=False, num_workers=2)
+    # inline path (few-core hosts) raises the original error; the process
+    # pool wraps it in RuntimeError("data worker failed")
+    with pytest.raises((ValueError, RuntimeError)):
+        list(loader)
+
+
+def test_loader_pad_wraps_small_remainder():
+    # remainder (1) < batch/2: padding must still reach full batch size
+    loader = DetectionLoader(_ToyDataset(9), batch_size=8, max_gt=4,
+                             shuffle=False, drop_last=False, num_workers=1)
+    batches = list(loader)
+    assert [b["images"].shape[0] for b in batches] == [8, 8]

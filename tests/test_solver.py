@@ -141,3 +141,38 @@ def test_differential_learning_rate():
     base_u = float(updates["base_layers_0"]["kernel"][0])
     head_u = float(updates["head"]["loc0"]["kernel"][0])
     assert base_u == pytest.approx(head_u * 0.1, rel=1e-5)
+
+
+def test_scope_matching_is_not_overbroad():
+    params = {
+        "conf0": {"kernel": jnp.zeros((1,))},      # digit suffix: matches 'conf'
+        "confusion": {"kernel": jnp.zeros((1,))},  # bare longer word: must NOT
+        "norm": {"scale": jnp.zeros((1,))},
+        "normalizer": {"scale": jnp.zeros((1,))},  # must NOT match 'norm'
+    }
+    labels = trainable_mask(params, "conf,norm")
+    assert labels["conf0"]["kernel"] == "train"
+    assert labels["norm"]["scale"] == "train"
+    assert labels["confusion"]["kernel"] == "freeze"
+    assert labels["normalizer"]["scale"] == "freeze"
+
+
+def test_resume_continues_lr_schedule(tmp_path):
+    """After auto-resume the step counter continues the schedule."""
+    from ssds_tpu.config import default_config
+    from ssds_tpu.solver import Solver
+
+    cfg = default_config()
+    cfg.TRAIN.LR_SCHEDULER.WARM_UP_EPOCHS = 5
+    cfg.TRAIN.LR_SCHEDULER.SCHEDULER = "step"
+    cfg.TRAIN.LR_SCHEDULER.STEPS = [1000]  # no decay inside this test
+    solver = Solver.__new__(Solver)  # skip heavy init; test build_state only
+    solver.cfg = cfg
+    solver.start_epoch = 10
+    solver.params = {"w": jnp.ones((2,))}
+    solver.batch_stats = {}
+    solver.build_state(steps_per_epoch=7)
+    assert int(solver.state.step) == 70
+    # past warm-up: schedule returns the base lr, not the warm-up ramp
+    base = float(cfg.TRAIN.OPTIMIZER.LEARNING_RATE)
+    assert float(solver.lr_schedule(int(solver.state.step))) == pytest.approx(base)
