@@ -107,6 +107,7 @@ def default_config() -> AttrDict:
             NUM_WORKERS=8,
             DEVICE_ID=[0],
             MAX_GT=64,  # padded ground-truth boxes per image (static shapes)
+            DEVICE_AUG=False,  # run augmentation on-TPU (host does resize only)
         ),
         # --- TPU-native additions (no reference equivalent; SURVEY.md §2.8) ---
         TPU=_ad(

@@ -209,6 +209,8 @@ def load_data(dataset_cfg, phase: str, image_size=None, batch_size: int = 32,
     means = tuple(dataset_cfg.PIXEL_MEANS)
     if phase == "train":
         sets, prob, shuffle, drop_last = dataset_cfg.TRAIN_SETS, dataset_cfg.PROB, True, True
+        if bool(dataset_cfg.get("DEVICE_AUG", False)):
+            prob = -1  # host does resize-only; augmentation runs on device
     elif phase in ("eval", "test"):
         sets, prob, shuffle, drop_last = dataset_cfg.TEST_SETS, -1, False, False
     elif phase == "visualize":

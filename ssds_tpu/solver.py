@@ -198,35 +198,47 @@ def configure_optimizer(train_cfg, schedule):
     return wrap
 
 
-def build_train_step(model, priors, is_yolo: bool, img_hw, dtype, pixel_means=None):
+def build_train_step(model, priors, is_yolo: bool, img_hw, dtype, pixel_means=None,
+                     device_aug_prob: float = 0.0):
     """The jitted per-iteration body: forward (bf16 optional) → loss → grad →
     optimizer update, buffers donated. Shared by the Solver and the
     multi-chip dry-run entry (``__graft_entry__.dryrun_multichip``).
 
     ``pixel_means``: when given, images arrive as raw uint8 and BGR mean
-    subtraction happens on device (4x smaller host→device transfer)."""
+    subtraction happens on device (4x smaller host→device transfer).
+    ``device_aug_prob`` > 0 runs the batched on-device augmentation
+    (:mod:`ssds_tpu.ops.augment_device`) inside the step — use with a
+    resize-only host pipeline (``DATASET.DEVICE_AUG``)."""
     anchors = [jnp.asarray(a, jnp.float32) for a in model.anchors] if is_yolo else None
     means = None if pixel_means is None else jnp.asarray(pixel_means, jnp.float32)
+    aug_key = jax.random.PRNGKey(17)
 
     def train_step(state: TrainState, batch):
+        images = batch["images"]
+        boxes, labels, valid = batch["boxes"], batch["labels"], batch["valid"]
+        if means is not None:
+            images = images.astype(jnp.float32) - means
+        if device_aug_prob > 0:
+            from ssds_tpu.ops.augment_device import augment_batch
+
+            step_key = jax.random.fold_in(aug_key, state.step)
+            images, boxes, valid = augment_batch(
+                step_key, images.astype(jnp.float32), boxes, valid,
+                prob=device_aug_prob)
+
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            images = batch["images"]
-            if means is not None:
-                images = images.astype(jnp.float32) - means
             out, mut = model.apply(
                 variables, images.astype(dtype),
                 phase="train", train=True, mutable=["batch_stats"],
             )
             if is_yolo:
-                ll, lc = yolo_loss(out, anchors, batch["boxes"], batch["labels"],
-                                   batch["valid"], img_hw)
+                ll, lc = yolo_loss(out, anchors, boxes, labels, valid, img_hw)
             else:
                 loc, conf = out
-                ll, lc = multibox_loss(loc, conf, batch["boxes"], batch["labels"],
-                                       batch["valid"], priors)
+                ll, lc = multibox_loss(loc, conf, boxes, labels, valid, priors)
             return ll + lc, (ll, lc, mut.get("batch_stats", state.batch_stats))
 
         (loss, (ll, lc, new_bs)), grads = jax.value_and_grad(
@@ -349,9 +361,11 @@ class Solver:
     # -- compiled steps -------------------------------------------------------
 
     def make_train_step(self):
+        device_aug = bool(self.cfg.DATASET.get("DEVICE_AUG", False))
         return build_train_step(
             self.model, self.priors, self.is_yolo, self.img_hw, self.compute_dtype,
-            pixel_means=tuple(self.cfg.DATASET.PIXEL_MEANS))
+            pixel_means=tuple(self.cfg.DATASET.PIXEL_MEANS),
+            device_aug_prob=float(self.cfg.DATASET.PROB) if device_aug else 0.0)
 
     def make_eval_forward(self):
         model, priors, is_yolo = self.model, self.priors, self.is_yolo
