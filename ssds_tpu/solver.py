@@ -296,6 +296,7 @@ class Solver:
         self.loaders = {}
         self._train_step = None
         self._eval_forward = None
+        self._eval_loss = None
         self._checkpointer = None
         self.state: Optional[TrainState] = None
 
@@ -366,6 +367,31 @@ class Solver:
             self.model, self.priors, self.is_yolo, self.img_hw, self.compute_dtype,
             pixel_means=tuple(self.cfg.DATASET.PIXEL_MEANS),
             device_aug_prob=float(self.cfg.DATASET.PROB) if device_aug else 0.0)
+
+    def make_eval_loss(self):
+        """Loss on the eval set (reference eval_epoch reports loss + mAP)."""
+        model, priors, is_yolo, img_hw = self.model, self.priors, self.is_yolo, self.img_hw
+        dtype = self.compute_dtype
+        means = jnp.asarray(tuple(self.cfg.DATASET.PIXEL_MEANS), jnp.float32)
+        anchors = (
+            [jnp.asarray(a, jnp.float32) for a in model.anchors] if is_yolo else None
+        )
+
+        @jax.jit
+        def eval_loss(params, batch_stats, batch):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            images = (batch["images"].astype(jnp.float32) - means).astype(dtype)
+            out = model.apply(variables, images, phase="train", train=False)
+            if is_yolo:
+                return yolo_loss(out, anchors, batch["boxes"], batch["labels"],
+                                 batch["valid"], img_hw)
+            loc, conf = out
+            return multibox_loss(loc, conf, batch["boxes"], batch["labels"],
+                                 batch["valid"], priors)
+
+        return eval_loss
 
     def make_eval_forward(self):
         model, priors, is_yolo = self.model, self.priors, self.is_yolo
@@ -455,9 +481,23 @@ class Solver:
 
     def eval_epoch(self, epoch, writer=None):
         loader = self.get_loader("eval")
+        # loss on the eval set (reference eval_epoch behavior)
+        if self._eval_loss is None:
+            self._eval_loss = self.make_eval_loss()
+        params = self.state.params if self.state is not None else self.params
+        batch_stats = self.state.batch_stats if self.state is not None else self.batch_stats
+        sums, n = [0.0, 0.0], 0
+        for batch in loader:
+            ll, lc = self._eval_loss(params, batch_stats, batch)
+            sums[0] += float(ll)
+            sums[1] += float(lc)
+            n += 1
+        loss_l, loss_c = sums[0] / max(1, n), sums[1] / max(1, n)
         mAP = self._run_detection_eval(loader)
-        print(f"eval epoch {epoch}: mAP={mAP:.4f}")
+        print(f"eval epoch {epoch}: loss_l={loss_l:.4f} loss_c={loss_c:.4f} mAP={mAP:.4f}")
         if writer:
+            writer.add_scalar("Eval/loss_loc", loss_l, epoch)
+            writer.add_scalar("Eval/loss_conf", loss_c, epoch)
             writer.add_scalar("Eval/mAP", mAP, epoch)
         return mAP
 

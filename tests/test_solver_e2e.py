@@ -113,6 +113,10 @@ def test_solver_full_lifecycle(tmp_path):
     solver2.train_model()
     assert solver2.start_epoch == 2
 
+    # eval_epoch: loss-on-eval-set + mAP + TB scalars (reference behavior)
+    mAP_eval = solver2.eval_epoch(2)
+    assert 0.0 <= mAP_eval <= 1.0
+
     # file-based eval protocol runs end to end and returns a scalar mAP
     mAP = solver2.test_model()
     assert 0.0 <= mAP <= 1.0
