@@ -28,7 +28,18 @@ def main():
     cfg = default_config()
     cfg.MODEL.SSDS = "ssd"
     cfg.MODEL.NETS = "vgg16"
-    det = ObjectDetector(cfg)
+    # The tunneled TPU backend occasionally faults on large fresh compiles
+    # (UNAVAILABLE/ABORTED "kernel fault"); retry a few times before giving up.
+    det = None
+    for attempt in range(4):
+        try:
+            det = ObjectDetector(cfg)
+            break
+        except Exception as e:
+            print(f"# attempt {attempt + 1} failed: {type(e).__name__}", flush=True)
+            time.sleep(60)  # tunneled backend recovers from faults in ~1 min
+    if det is None:
+        det = ObjectDetector(cfg)
 
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (1, 300, 300, 3), dtype=np.uint8)

@@ -55,22 +55,43 @@ class ObjectDetector:
         priors_j = None if priors is None else jnp.asarray(priors)
 
         @jax.jit
-        def _predict(variables, img_u8):
-            # img_u8: [1, H, W, 3] uint8 BGR at model input size
+        def _forward(variables, img_u8):
+            # img_u8: [B, H, W, 3] uint8 BGR at model input size
             x = img_u8.astype(jnp.float32) - means
             if half:
                 x = x.astype(jnp.bfloat16)
-            out = model.apply(variables, x, phase="eval", train=False)
+            return model.apply(variables, x, phase="eval", train=False)
+
+        def _post(out):
             if is_yolo:
                 boxes, scores = out
                 return detect_decoded(boxes, scores, post)
             loc, conf = out
             return detect(loc, conf, priors_j, post)
 
-        self._predict = _predict
-        # warm-up compile with a dummy input
+        @jax.jit
+        def _predict_fused(variables, img_u8):
+            return _post(_forward.__wrapped__(variables, img_u8))
+
+        def _predict_split(variables, img_u8):
+            return _post(_forward(variables, img_u8))
+
+        # The single fused program has the fewest launches (the batch-1
+        # latency path), but compiling it intermittently FAULTS the tunneled
+        # TPU backend — and a faulted device stays wedged for the process,
+        # so the fused attempt cannot even be used as a best-effort probe.
+        # Default: two chained programs (forward | detect), which compile
+        # reliably and cost one extra launch; opt into fused with
+        # SSDS_TPU_FUSED_PREDICT=1 on healthy backends.
+        import os
+
         h, w = self.img_hw
-        self._predict(self.variables, jnp.zeros((1, h, w, 3), jnp.uint8)).block_until_ready()
+        dummy = jnp.zeros((1, h, w, 3), jnp.uint8)
+        if os.environ.get("SSDS_TPU_FUSED_PREDICT", "0") == "1":
+            self._predict = _predict_fused
+        else:
+            self._predict = _predict_split
+        self._predict(self.variables, dummy).block_until_ready()
 
     def predict(self, img: np.ndarray, threshold: float = 0.6, check_time: bool = False):
         """img: HWC BGR uint8 (any size). Returns (boxes_px [N,4], labels

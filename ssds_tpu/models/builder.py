@@ -76,8 +76,12 @@ def create_priors(model_cfg, feature_maps) -> np.ndarray:
 
 def init_model(model, model_cfg, rng=None, batch_size: int = 1, dtype=jnp.float32):
     """Initialize model variables with a dummy batch; returns the variables
-    pytree (``{'params': ..., 'batch_stats': ...}``)."""
+    pytree (``{'params': ..., 'batch_stats': ...}``).
+
+    The init runs under jit: one compiled program instead of hundreds of
+    eager per-op dispatches (each of which pays the host↔device round trip
+    on a tunneled runtime)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     h, w = int(model_cfg.IMAGE_SIZE[0]), int(model_cfg.IMAGE_SIZE[1])
     x = jnp.zeros((batch_size, h, w, 3), dtype)
-    return model.init(rng, x, phase="train", train=False)
+    return jax.jit(lambda r: model.init(r, x, phase="train", train=False))(rng)
