@@ -467,6 +467,8 @@ class Solver:
         sums = {"loss": 0.0, "loss_l": 0.0, "loss_c": 0.0}
         n = 0
         samples = 0
+        total = len(loader)
+        t0 = time.time()
         for batch in loader:
             device_batch = shard_batch(batch, self.mesh)
             self.state, metrics = self._train_step(self.state, device_batch)
@@ -476,6 +478,17 @@ class Solver:
                 samples += 1
                 for k in sums:
                     sums[k] += float(m[k])
+                step = int(self.state.step)
+                if writer is not None:
+                    writer.add_scalar("Train/iter_loss_loc", float(m["loss_l"]), step)
+                    writer.add_scalar("Train/iter_loss_conf", float(m["loss_c"]), step)
+                if n > 1:
+                    eta = (time.time() - t0) / n * (total - n)
+                    print(
+                        f"  iter {n}/{total} loss_l={float(m['loss_l']):.4f} "
+                        f"loss_c={float(m['loss_c']):.4f} eta={eta:.0f}s",
+                        flush=True,
+                    )
         denom = max(1, samples)
         return {k: v / denom for k, v in sums.items()}
 
