@@ -73,3 +73,23 @@ def test_coco_eval_misses_score_low(coco_root):
     all_boxes = [[[] for _ in range(n_img)] for _ in range(n_cls + 1)]
     ap = ds.evaluate_detections(all_boxes, os.path.join(coco_root, "out2"))
     assert ap == pytest.approx(0.0, abs=1e-6)
+
+
+def test_coco_via_factory(coco_root):
+    """load_data wires the COCO dataset through the loader (factory branch)."""
+    from ssds_tpu.config import default_config
+    from ssds_tpu.data.factory import load_data
+
+    cfg = default_config()
+    cfg.DATASET.DATASET = "coco"
+    cfg.DATASET.DATASET_DIR = coco_root
+    cfg.DATASET.TEST_SETS = [["2017", "val"]]
+    cfg.DATASET.MAX_GT = 8
+    cfg.DATASET.NUM_WORKERS = 0
+    loader = load_data(cfg.DATASET, "test", image_size=[96, 96], batch_size=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["images"].shape == (2, 96, 96, 3)
+    assert b["images"].dtype == np.uint8
+    assert b["valid"].any()
