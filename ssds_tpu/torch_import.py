@@ -42,7 +42,16 @@ def _convert_tensor(name: str, arr: np.ndarray) -> Tuple[str, np.ndarray]:
 
 
 def map_torch_key(torch_key: str) -> Tuple[Tuple[str, ...], str]:
-    """Map a torch state_dict key to (flax path prefix, leaf name)."""
+    """Map a torch state_dict key to (flax path prefix, leaf name).
+
+    Structure notes (reference ssd.py builders -> our modules):
+    - ``base.{i}``: the torch base ModuleList index i aligns 1:1 with our
+      ``base_layers_{i}`` (ReLU/pool entries hold no params on either side).
+    - ``extras.{j}``: the reference flattens extras into single convs
+      (1x1, 3x3, 1x1, 3x3, ...); ours groups them into two-conv blocks
+      ``extra_layers_{j//2}/layers_{j%2}``.
+    - ``loc.{k}`` / ``conf.{k}``: per-source head convs -> ``head/loc{k}``.
+    """
     parts = torch_key.split(".")
     leaf = parts[-1]
     mods = parts[:-1]
@@ -53,11 +62,11 @@ def map_torch_key(torch_key: str) -> Tuple[Tuple[str, ...], str]:
         if m in ("base", "extras", "loc", "conf", "transforms", "pyramids") and i + 1 < len(
             mods
         ) and mods[i + 1].isdigit():
-            idx = mods[i + 1]
+            idx = int(mods[i + 1])
             if m == "base":
                 out.append(f"base_layers_{idx}")
             elif m == "extras":
-                out.append(f"extra_layers_{idx}")
+                out += [f"extra_layers_{idx // 2}", f"layers_{idx % 2}"]
             elif m == "loc":
                 out += ["head", f"loc{idx}"]
             elif m == "conf":
