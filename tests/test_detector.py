@@ -1,0 +1,45 @@
+"""ObjectDetector (demo path) on CPU with a tiny model: scale-back math,
+thresholding, timing dict."""
+
+import numpy as np
+
+from ssds_tpu.config import default_config
+from ssds_tpu.detector import ObjectDetector
+
+
+def tiny_cfg():
+    cfg = default_config()
+    cfg.MODEL.SSDS = "ssd_lite"
+    cfg.MODEL.NETS = "mobilenet_v1_025"
+    cfg.MODEL.IMAGE_SIZE = [96, 96]
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.MODEL.FEATURE_LAYER = [[11, 13], [128, 256]]
+    cfg.MODEL.ASPECT_RATIOS = [[2], [2]]
+    cfg.MODEL.SIZES = [0.3, 0.6, 0.9]
+    cfg.MODEL.HALF_PRECISION = False
+    cfg.POST_PROCESS.NUM_CLASSES = 4
+    cfg.POST_PROCESS.MAX_DETECTIONS = 10
+    return cfg
+
+
+def test_predict_shapes_and_scaleback():
+    det = ObjectDetector(tiny_cfg())
+    img = np.random.default_rng(0).integers(0, 255, (240, 320, 3), dtype=np.uint8)
+    boxes, labels, scores = det.predict(img, threshold=0.0)
+    assert boxes.shape[1] == 4
+    assert len(labels) == len(scores) == boxes.shape[0]
+    # pixel-frame scaling: coords are finite and of original-image magnitude
+    # (decode does not clip — reference Detect doesn't either, so a
+    # random-weight model can emit out-of-frame boxes)
+    if len(boxes):
+        assert np.isfinite(boxes).all()
+        assert np.abs(boxes).max() < 10 * 320
+        assert (labels >= 0).all() and (labels < 3).all()  # background dropped
+
+    # high threshold on a random-weight model: typically nothing survives
+    boxes_hi, labels_hi, scores_hi = det.predict(img, threshold=0.999)
+    assert boxes_hi.shape[0] <= boxes.shape[0]
+
+    (b2, l2, s2), times = det.predict(img, threshold=0.5, check_time=True)
+    for k in ("preprocess", "forward_detect", "postfilter", "total"):
+        assert times[k] >= 0.0
