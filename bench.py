@@ -21,6 +21,49 @@ import numpy as np
 BASELINE_FPS = 46.0  # SSD paper, Titan X, batch 1
 
 
+def _train_fallback():
+    import jax.numpy as jnp
+    import numpy as np_
+    import optax
+
+    from ssds_tpu.config import default_config
+    from ssds_tpu.models.builder import create_model, create_priors, init_model
+    from ssds_tpu.solver import TrainState, build_train_step
+
+    cfg = default_config()
+    model, fmaps = create_model(cfg.MODEL)
+    priors = jnp.asarray(create_priors(cfg.MODEL, fmaps))
+    variables = init_model(model, cfg.MODEL)
+    bs = 32
+    batch = {
+        "images": jnp.zeros((bs, 300, 300, 3), jnp.uint8),
+        "boxes": jnp.tile(jnp.asarray([0.2, 0.2, 0.7, 0.7]), (bs, 16, 1)),
+        "labels": jnp.ones((bs, 16), jnp.int32),
+        "valid": jnp.zeros((bs, 16), bool).at[:, :2].set(True),
+    }
+    tx = optax.sgd(0.001, momentum=0.9)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       batch_stats={}, opt_state=tx.init(variables["params"]), tx=tx)
+    step = build_train_step(model, priors, False, (300, 300), jnp.bfloat16,
+                            pixel_means=(104, 117, 123))
+    for _ in range(3):
+        state, m = step(state, batch)
+    jax.block_until_ready(m)
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = step(state, batch)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "ssd300_vgg16_train_imgs_per_sec",
+        "value": round(bs / dt, 2),
+        "unit": "images/sec (train step, batch 32, one chip; inference bench "
+                "unavailable — backend faulted on its compile)",
+        "vs_baseline": -1,
+    }))
+
+
 def main():
     from ssds_tpu.config import default_config
     from ssds_tpu.detector import ObjectDetector
@@ -39,7 +82,12 @@ def main():
             print(f"# attempt {attempt + 1} failed: {type(e).__name__}", flush=True)
             time.sleep(60)  # tunneled backend recovers from faults in ~1 min
     if det is None:
-        det = ObjectDetector(cfg)
+        # Degraded mode: the inference-program compile keeps faulting the
+        # backend. Report the TRAIN-step throughput instead (its compile has
+        # been reliable) — honestly labeled, vs_baseline=-1 (no published
+        # train baseline exists).
+        _train_fallback()
+        return
 
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (1, 300, 300, 3), dtype=np.uint8)
