@@ -1,29 +1,95 @@
 #!/usr/bin/env python
 """Headline benchmark: SSD300-VGG16 batch-1 inference FPS on one chip.
 
-Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
-Baseline: the SSD paper's 46 FPS batch-1 on Titan X (BASELINE.md) — the
-reference repo reimplements that model; vs_baseline = our_fps / 46.
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}`` on
+stdout, always (diagnostics go to stderr). Baseline: the SSD paper's 46 FPS
+batch-1 on Titan X (BASELINE.md) — the reference repo reimplements that
+model; vs_baseline = our_fps / 46. Reference latency path: ``demo.py -t
+time`` / ``lib/ssds.py:~100`` (SURVEY.md §3.3).
 
-The timed program is the full predict path in one jitted function (mean-sub,
-bf16 conv forward, decode, per-class NMS, top-k), uint8 in / dense
-detections out — the reference's ObjectDetector.predict equivalent minus
-host-side image resize.
+Fault isolation: the tunneled TPU backend intermittently FAULTS while
+compiling large fresh programs, and a faulted device stays wedged for the
+whole owning process. So every measurement stage runs in its OWN
+subprocess (``python bench.py --stage <name>``); a wedged device dies with
+its child and the orchestrator moves on. Stage ladder, best first:
+
+  fused  — whole predict path (mean-sub, bf16 conv fwd, decode, NMS, top-k)
+           in ONE jitted program. Fastest (fewest launches) but its compile
+           is the one that faults the backend most often.
+  split  — forward | detect as two chained programs; compiles reliably.
+  train  — jitted train-step throughput at batch 32; honest degraded mode
+           when no inference program will compile (vs_baseline=-1: no
+           published train baseline exists).
+
+If everything fails, a value-0 line is printed so the driver always parses
+a result.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 BASELINE_FPS = 46.0  # SSD paper, Titan X, batch 1
+STAGE_TIMEOUT_S = 1500  # first big compile through the tunnel can take minutes
+FAULT_COOLDOWN_S = 60  # tunneled backend recovers from a fault in ~1 min
 
 
-def _train_fallback():
+# --------------------------------------------------------------------------
+# stages (each runs in its own subprocess; prints ONE json line on success)
+# --------------------------------------------------------------------------
+
+def _stage_inference(fused: bool):
+    os.environ["SSDS_TPU_FUSED_PREDICT"] = "1" if fused else "0"
+    import jax
     import jax.numpy as jnp
-    import numpy as np_
+    import numpy as np
+
+    from ssds_tpu.config import default_config
+    from ssds_tpu.detector import ObjectDetector
+
+    cfg = default_config()
+    cfg.MODEL.SSDS = "ssd"
+    cfg.MODEL.NETS = "vgg16"
+    det = ObjectDetector(cfg)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (1, 300, 300, 3), dtype=np.uint8)
+    x = jnp.asarray(img)
+
+    # warmup (compile happened in the constructor; still warm the caches)
+    for _ in range(10):
+        jax.block_until_ready(det._predict(det.variables, x))
+
+    # Pipelined dispatch: JAX queues async step submissions so the
+    # host->device round-trip overlaps with device compute; blocking once at
+    # the end measures true device throughput. (In this environment the
+    # device is reached through a tunnel with ~27 ms RTT — per-call blocking
+    # would measure the tunnel, not the TPU.)
+    def run(iters):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = det._predict(det.variables, x)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    run(20)
+    per_step = min(run(100) for _ in range(3))
+    fps = 1.0 / per_step
+    mode = "fused" if fused else "split"
+    print(json.dumps({
+        "metric": "ssd300_vgg16_batch1_fps",
+        "value": round(fps, 2),
+        "unit": f"images/sec (batch-1, pipelined, one chip, {mode} predict)",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }), flush=True)
+
+
+def _stage_train():
+    import jax
+    import jax.numpy as jnp
     import optax
 
     from ssds_tpu.config import default_config
@@ -61,66 +127,91 @@ def _train_fallback():
         "unit": "images/sec (train step, batch 32, one chip; inference bench "
                 "unavailable — backend faulted on its compile)",
         "vs_baseline": -1,
-    }))
+    }), flush=True)
+
+
+STAGES = {
+    "fused": lambda: _stage_inference(fused=True),
+    "split": lambda: _stage_inference(fused=False),
+    "train": _stage_train,
+}
+
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def _run_stage(name: str):
+    """Run one stage in a fresh subprocess; return its parsed json or None."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", name],
+            capture_output=True, text=True, timeout=STAGE_TIMEOUT_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# stage {name}: timed out after {STAGE_TIMEOUT_S}s",
+              file=sys.stderr, flush=True)
+        return None
+    except Exception as e:  # noqa: BLE001 — must never crash the orchestrator
+        print(f"# stage {name}: spawn failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+        return None
+    if proc.stderr:
+        sys.stderr.write(proc.stderr[-2000:])
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                parsed = json.loads(line)
+                if "metric" in parsed and "value" in parsed:
+                    return parsed
+            except json.JSONDecodeError:
+                pass
+    print(f"# stage {name}: rc={proc.returncode}, no json line",
+          file=sys.stderr, flush=True)
+    return None
 
 
 def main():
-    from ssds_tpu.config import default_config
-    from ssds_tpu.detector import ObjectDetector
-
-    cfg = default_config()
-    cfg.MODEL.SSDS = "ssd"
-    cfg.MODEL.NETS = "vgg16"
-    # The tunneled TPU backend occasionally faults on large fresh compiles
-    # (UNAVAILABLE/ABORTED "kernel fault"); retry a few times before giving up.
-    det = None
-    for attempt in range(4):
-        try:
-            det = ObjectDetector(cfg)
+    # Stage ladder with per-stage retries. Each attempt is a fresh process,
+    # so a backend fault in one attempt cannot wedge the next; we still sleep
+    # between attempts because the *device side* of the tunnel needs ~1 min
+    # to recover from a kernel fault.
+    ladder = [("fused", 2), ("split", 2), ("train", 2)]
+    result = None
+    for name, attempts in ladder:
+        for attempt in range(attempts):
+            result = _run_stage(name)
+            if result is not None:
+                break
+            if attempt + 1 < attempts:
+                time.sleep(FAULT_COOLDOWN_S)
+        if result is not None:
             break
-        except Exception as e:
-            print(f"# attempt {attempt + 1} failed: {type(e).__name__}", flush=True)
-            time.sleep(60)  # tunneled backend recovers from faults in ~1 min
-    if det is None:
-        # Degraded mode: the inference-program compile keeps faulting the
-        # backend. Report the TRAIN-step throughput instead (its compile has
-        # been reliable) — honestly labeled, vs_baseline=-1 (no published
-        # train baseline exists).
-        _train_fallback()
-        return
-
-    rng = np.random.default_rng(0)
-    img = rng.integers(0, 255, (1, 300, 300, 3), dtype=np.uint8)
-    x = jnp.asarray(img)
-
-    # warmup (compile happened in the constructor; still warm the caches)
-    for _ in range(10):
-        jax.block_until_ready(det._predict(det.variables, x))
-
-    # Pipelined dispatch: JAX queues async step submissions so the
-    # host->device round-trip overlaps with device compute; blocking once at
-    # the end measures true device throughput. (In this environment the
-    # device is reached through a tunnel with ~27 ms RTT — per-call blocking
-    # would measure the tunnel, not the TPU.)
-    def run(iters):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = det._predict(det.variables, x)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters
-
-    run(20)
-    per_step = min(run(100) for _ in range(3))
-    fps = 1.0 / per_step
-
-    print(json.dumps({
-        "metric": "ssd300_vgg16_batch1_fps",
-        "value": round(fps, 2),
-        "unit": "images/sec (batch-1, pipelined, one chip)",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+        time.sleep(FAULT_COOLDOWN_S)
+    if result is None:
+        result = {
+            "metric": "ssd300_vgg16_batch1_fps",
+            "value": 0,
+            "unit": "images/sec (ALL bench stages failed — backend unavailable; "
+                    "see stderr)",
+            "vs_baseline": 0,
+        }
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        STAGES[sys.argv[2]]()
+    else:
+        try:
+            main()
+        except Exception as e:  # noqa: BLE001 — the json line must always print
+            print(f"# orchestrator error: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            print(json.dumps({
+                "metric": "ssd300_vgg16_batch1_fps", "value": 0,
+                "unit": "images/sec (orchestrator error — see stderr)",
+                "vs_baseline": 0,
+            }), flush=True)
