@@ -188,7 +188,14 @@ def resume_checkpoint(variables: dict, path: str, resume_scope: str = "") -> dic
     if missing:
         print(f"resume: {len(missing)} model keys not in checkpoint (kept init)")
     print(f"resume: loaded {loaded}/{len(flat_model)} variables from {path}")
-    return traverse_util.unflatten_dict(out)
+    result = traverse_util.unflatten_dict(out)
+    # flatten_dict drops EMPTY collections (e.g. batch_stats={} for BN-less
+    # models like ssd_vgg16), which would make the restored tree lose the
+    # key entirely; preserve every top-level collection from the input.
+    for coll, val in variables.items():
+        if coll not in result:
+            result[coll] = val
+    return result
 
 
 def checkpoint_epoch(path: str) -> Optional[int]:

@@ -113,12 +113,11 @@ def _distort(image):
     alpha = random.uniform(0.5, 1.5) if do_contrast else 1.0
     beta = random.uniform(-32, 32) if do_bright else 0.0
     if do_bright or do_contrast:
-        # convertScaleAbs computes |a*x + b| saturated; inputs stay >= 0 for
-        # any a > 0 unless b < 0 — emulate clip-at-0 via two-sided LUT-free
-        # path: a*x + b with saturation matches np.clip for x in [0, 255]
-        # when a > 0 and the reference's order (beta then alpha) collapses
-        # to one affine op per branch. Apply sequentially like the reference.
-        image = cv2.convertScaleAbs(image, alpha=1.0, beta=beta) if do_bright else image
+        if do_bright:
+            # cv2.add saturates at BOTH ends (clip to [0,255]) — matching the
+            # reference's np.clip. (convertScaleAbs would compute |x + beta|,
+            # reflecting dark pixels upward for beta < 0.)
+            image = cv2.add(image, (beta, beta, beta, 0))
         if do_contrast:
             image = cv2.convertScaleAbs(image, alpha=alpha, beta=0.0)
     else:
@@ -250,7 +249,8 @@ class preproc:
 
         height, width = image_t.shape[:2]
         out_h, out_w = self.resize
-        exp = _expand_params(width, height, 0.5) if len(boxes_t) else None
+        # the reference's _expand gates on self.p (cfg.DATASET.PROB), not 0.5
+        exp = _expand_params(width, height, self.p) if len(boxes_t) else None
         boxes_t = boxes_t.copy()
         if exp is None:
             image_t = self._resize(image_t)

@@ -89,18 +89,24 @@ def _apply_affine_boxes(boxes, valid, scale, tx, ty, h, w):
 
 
 def _photometric(key, img):
-    """Brightness/contrast/saturation/channel jitter on mean-subtracted RGB."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    img = img + jnp.where(jax.random.bernoulli(k1),
-                          jax.random.uniform(k1, minval=-32.0, maxval=32.0), 0.0)
-    img = img * jnp.where(jax.random.bernoulli(k2),
-                          jax.random.uniform(k2, minval=0.5, maxval=1.5), 1.0)
+    """Brightness/contrast/saturation/channel jitter on mean-subtracted RGB.
+
+    Each gate and each magnitude draw gets its OWN subkey: with a shared key,
+    ``bernoulli(k) == uniform(k) < 0.5``, so a gate firing would imply the
+    magnitude landed in the lower half of its range (e.g. brightness only
+    ever shifting negative) — a silent halving of the distribution.
+    """
+    kg1, km1, kg2, km2, kg3, km3, kg4, km4 = jax.random.split(key, 8)
+    img = img + jnp.where(jax.random.bernoulli(kg1),
+                          jax.random.uniform(km1, minval=-32.0, maxval=32.0), 0.0)
+    img = img * jnp.where(jax.random.bernoulli(kg2),
+                          jax.random.uniform(km2, minval=0.5, maxval=1.5), 1.0)
     luma = jnp.mean(img, axis=-1, keepdims=True)
-    sat = jnp.where(jax.random.bernoulli(k3),
-                    jax.random.uniform(k3, minval=0.5, maxval=1.5), 1.0)
+    sat = jnp.where(jax.random.bernoulli(kg3),
+                    jax.random.uniform(km3, minval=0.5, maxval=1.5), 1.0)
     img = luma + (img - luma) * sat
-    gains = jnp.where(jax.random.bernoulli(k4),
-                      jax.random.uniform(k5, (3,), minval=0.9, maxval=1.1), 1.0)
+    gains = jnp.where(jax.random.bernoulli(kg4),
+                      jax.random.uniform(km4, (3,), minval=0.9, maxval=1.1), 1.0)
     return img * gains
 
 
@@ -146,8 +152,9 @@ def augment_batch(
         ], axis=1)
         bx_out = jnp.where(do_flip, flipped, bx_out)
 
-        do_photo = jax.random.uniform(kp) < prob
-        img_out = jnp.where(do_photo, _photometric(kp, img_out), img_out)
+        kp_gate, kp_draw = jax.random.split(kp)
+        do_photo = jax.random.uniform(kp_gate) < prob
+        img_out = jnp.where(do_photo, _photometric(kp_draw, img_out), img_out)
         return img_out, bx_out, vd_out
 
     keys = jax.random.split(rng, b)

@@ -282,6 +282,7 @@ class Solver:
             score_threshold=float(cfg.POST_PROCESS.SCORE_THRESHOLD),
             iou_threshold=float(cfg.POST_PROCESS.IOU_THRESHOLD),
             max_detections=int(cfg.POST_PROCESS.MAX_DETECTIONS),
+            top_k=int(cfg.POST_PROCESS.TOP_K),
             variance=tuple(cfg.POST_PROCESS.VARIANCE),
         )
 
@@ -344,11 +345,13 @@ class Solver:
             epochs, paths = previous
             self.start_epoch = epochs[-1]
             restored = ckpt_lib.resume_checkpoint(variables, paths[-1], "")
-            self.params, self.batch_stats = restored["params"], restored["batch_stats"]
+            self.params = restored["params"]
+            self.batch_stats = restored.get("batch_stats", self.batch_stats)
         elif self.cfg.RESUME_CHECKPOINT:
             restored = ckpt_lib.resume_checkpoint(
                 variables, self.cfg.RESUME_CHECKPOINT, str(self.cfg.TRAIN.RESUME_SCOPE))
-            self.params, self.batch_stats = restored["params"], restored["batch_stats"]
+            self.params = restored["params"]
+            self.batch_stats = restored.get("batch_stats", self.batch_stats)
 
     def save(self, epoch: int):
         if self._checkpointer is None:
@@ -443,9 +446,11 @@ class Solver:
                 f"loss_c={metrics['loss_c']:.4f} lr={lr:.6f} "
                 f"({time.time() - t0:.1f}s)"
             )
-            writer.add_scalar("Train/loss_loc", metrics["loss_l"], epoch)
-            writer.add_scalar("Train/loss_conf", metrics["loss_c"], epoch)
-            writer.add_scalar("Train/lr", lr, epoch)
+            # bare tag names match the reference's SummaryWriter scalars so
+            # existing TensorBoard workflows carry over (SURVEY.md §5)
+            writer.add_scalar("loss_loc", metrics["loss_l"], epoch)
+            writer.add_scalar("loss_conf", metrics["loss_c"], epoch)
+            writer.add_scalar("lr", lr, epoch)
 
             scope = self.cfg.TEST.TEST_SCOPE
             if "eval" in self.phases and scope[0] <= epoch <= scope[1]:
@@ -464,24 +469,26 @@ class Solver:
             self._checkpointer.wait()  # all checkpoint writes durable
 
     def train_epoch(self, loader, sharding, epoch, writer=None):
-        sums = {"loss": 0.0, "loss_l": 0.0, "loss_c": 0.0}
+        # Epoch averages cover EVERY iteration: metrics accumulate on device
+        # (three tiny async adds per step — no host sync inside the loop) and
+        # are fetched once at epoch end. Printing/TB per-iter scalars still
+        # samples every 10th step to keep tunnel fetches off the hot path.
+        acc = None
         n = 0
-        samples = 0
         total = len(loader)
         t0 = time.time()
         for batch in loader:
             device_batch = shard_batch(batch, self.mesh)
             self.state, metrics = self._train_step(self.state, device_batch)
+            acc = metrics if acc is None else jax.tree_util.tree_map(
+                jnp.add, acc, metrics)
             n += 1
             if n % 10 == 0 or n == 1:
                 m = jax.device_get(metrics)
-                samples += 1
-                for k in sums:
-                    sums[k] += float(m[k])
                 step = int(self.state.step)
                 if writer is not None:
-                    writer.add_scalar("Train/iter_loss_loc", float(m["loss_l"]), step)
-                    writer.add_scalar("Train/iter_loss_conf", float(m["loss_c"]), step)
+                    writer.add_scalar("iter_loss_loc", float(m["loss_l"]), step)
+                    writer.add_scalar("iter_loss_conf", float(m["loss_c"]), step)
                 if n > 1:
                     eta = (time.time() - t0) / n * (total - n)
                     print(
@@ -489,8 +496,10 @@ class Solver:
                         f"loss_c={float(m['loss_c']):.4f} eta={eta:.0f}s",
                         flush=True,
                     )
-        denom = max(1, samples)
-        return {k: v / denom for k, v in sums.items()}
+        if acc is None:
+            return {"loss": 0.0, "loss_l": 0.0, "loss_c": 0.0}
+        acc = jax.device_get(acc)
+        return {k: float(v) / n for k, v in acc.items()}
 
     def eval_epoch(self, epoch, writer=None):
         loader = self.get_loader("eval")
@@ -583,6 +592,7 @@ class Solver:
         (reference ``visualize_epoch``; SURVEY.md §2.7)."""
         from ssds_tpu.utils.visualize import (
             viz_feature_maps,
+            viz_grads,
             viz_prior_box,
             viz_samples,
         )
@@ -602,7 +612,23 @@ class Solver:
             images = jnp.asarray(batch["images"][:1].astype(np.float32) - means)
             feats = self.model.apply(variables, images, phase="feature", train=False)
             viz_feature_maps(writer, [np.asarray(f) for f in feats], epoch)
+            # gradient histograms (reference viz_module_grads): one loss
+            # backward over this batch, per-parameter histograms
+            grads = self._grads_for_batch(params, batch_stats, batch)
+            viz_grads(writer, traverse_util.flatten_dict(jax.device_get(grads)),
+                      epoch)
             break
+
+    def _grads_for_batch(self, params, batch_stats, batch):
+        """Per-parameter loss gradients on one batch (for viz_grads)."""
+        if self._eval_loss is None:
+            self._eval_loss = self.make_eval_loss()
+
+        def total_loss(p):
+            ll, lc = self._eval_loss(p, batch_stats, batch)
+            return ll + lc
+
+        return jax.grad(total_loss)(params)
 
 
 def train_model(cfg):

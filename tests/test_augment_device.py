@@ -55,7 +55,10 @@ def test_boxes_track_bright_region():
             if not out_valid[i, 0]:
                 continue
             mass = out_img[i].sum(-1)
-            mass = np.maximum(mass, 0)
+            # photometric shifts can now raise the whole canvas (two-sided
+            # brightness); remove the background level (median: the square
+            # covers <=16% of the area) so only the planted square has mass
+            mass = np.maximum(mass - np.median(mass), 0)
             total = mass.sum()
             if total < 1e3:  # bright square zoomed out of view
                 continue
@@ -80,6 +83,26 @@ def test_boxes_stay_normalized_and_wellformed():
         kept = ob[v]
         assert (kept[:, 2] >= kept[:, 0]).all()
         assert (kept[:, 3] >= kept[:, 1]).all()
+
+
+def test_photometric_brightness_is_two_sided():
+    """Regression (ADVICE round-1 medium): with a shared key, the bernoulli
+    gate and the uniform magnitude were correlated, so brightness shifts were
+    only ever negative. Both signs must occur with roughly equal frequency."""
+    from ssds_tpu.ops.augment_device import _photometric
+
+    img = jnp.zeros((4, 4, 3), jnp.float32)
+    shifts = []
+    for seed in range(200):
+        out = _photometric(jax.random.PRNGKey(seed), img)
+        # on a zero image: brightness shift propagates through contrast/sat/
+        # gains as a scaled constant; its sign survives all multiplications
+        m = float(np.asarray(out).mean())
+        if abs(m) > 1e-6:
+            shifts.append(m)
+    pos = sum(1 for s in shifts if s > 0)
+    assert len(shifts) > 60
+    assert 0.3 < pos / len(shifts) < 0.7, f"{pos}/{len(shifts)} positive"
 
 
 def test_grad_does_not_flow_through_aug_rng():

