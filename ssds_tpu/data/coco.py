@@ -4,10 +4,14 @@ Behavioral spec source: reference ``lib/dataset/coco.py`` (SURVEY.md §2.6):
 ``COCODetection`` over pycocotools with category-id remap to contiguous
 labels and ``evaluate_detections`` → ``COCOeval`` bbox summary. pycocotools
 is not available in this environment (offline), so the annotation loading
-uses the raw JSON and the evaluator is a native numpy reimplementation of
-the COCOeval bbox protocol: per-category greedy score-ordered matching at
-IoU thresholds .50:.05:.95, 101-point interpolated precision, maxDets=100,
-AP/AP50/AP75 summary.
+uses the raw JSON and the evaluator delegates to
+:mod:`ssds_tpu.data.coco_eval`, a faithful native reimplementation of the
+COCOeval bbox protocol (crowd-as-ignore, per-image maxDets, area ranges,
+101-point interpolated precision, the full 12-metric summary).
+
+Crowd handling: ``iscrowd`` annotations are EXCLUDED from training targets
+(matching the reference's target transform) but KEPT as ignore regions for
+evaluation — detections matching only a crowd are neither TP nor FP.
 """
 
 from __future__ import annotations
@@ -18,6 +22,8 @@ from collections import defaultdict
 
 import cv2
 import numpy as np
+
+from ssds_tpu.data import coco_eval as _coco_eval
 
 
 class COCODetection:
@@ -32,6 +38,12 @@ class COCODetection:
         self.ids = []           # (img_path, image_id)
         self.annotations = {}   # image_id -> [N, 5] (x1, y1, x2, y2, label)
         self.img_info = {}      # image_id -> (height, width)
+        # eval-only ignore regions + segmentation areas (COCOeval protocol):
+        # image_id -> ([N,5] crowd boxes+label, [N] area) and per-annotation
+        # areas for the non-crowd GT rows (parallel to self.annotations)
+        self.crowds = {}        # image_id -> [N, 5]
+        self.crowd_areas = {}   # image_id -> [N]
+        self.gt_areas = {}      # image_id -> [N] (parallel to annotations)
 
         cat_ids = None
         for year, split in image_sets:
@@ -48,15 +60,23 @@ class COCODetection:
                     c["name"] for c in sorted(data["categories"], key=lambda c: c["id"])
                 )
             anns_by_img = defaultdict(list)
+            areas_by_img = defaultdict(list)
+            crowds_by_img = defaultdict(list)
+            crowd_areas_by_img = defaultdict(list)
             for a in data["annotations"]:
-                if a.get("iscrowd", 0):
-                    continue
                 x, y, w, h = a["bbox"]
                 if w <= 0 or h <= 0:
                     continue
-                anns_by_img[a["image_id"]].append(
-                    [x, y, x + w, y + h, self.cat_to_contiguous[a["category_id"]]]
-                )
+                row = [x, y, x + w, y + h, self.cat_to_contiguous[a["category_id"]]]
+                # COCOeval area-range decisions use the annotation's 'area'
+                # (segmentation area), falling back to the bbox area
+                area = float(a.get("area", w * h))
+                if a.get("iscrowd", 0):
+                    crowds_by_img[a["image_id"]].append(row)
+                    crowd_areas_by_img[a["image_id"]].append(area)
+                else:
+                    anns_by_img[a["image_id"]].append(row)
+                    areas_by_img[a["image_id"]].append(area)
             for img in data["images"]:
                 iid = img["id"]
                 self.ids.append((os.path.join(img_dir, img["file_name"]), iid))
@@ -64,6 +84,13 @@ class COCODetection:
                 self.annotations[iid] = np.asarray(
                     anns_by_img.get(iid, np.zeros((0, 5))), np.float32
                 ).reshape(-1, 5)
+                self.gt_areas[iid] = np.asarray(
+                    areas_by_img.get(iid, np.zeros(0)), np.float32)
+                self.crowds[iid] = np.asarray(
+                    crowds_by_img.get(iid, np.zeros((0, 5))), np.float32
+                ).reshape(-1, 5)
+                self.crowd_areas[iid] = np.asarray(
+                    crowd_areas_by_img.get(iid, np.zeros(0)), np.float32)
         self.num_classes = len(self.cat_ids)
 
     def __len__(self):
@@ -97,89 +124,53 @@ class COCODetection:
 
     def evaluate_detections(self, all_boxes, output_dir):
         """all_boxes[class][image] = [[x1,y1,x2,y2,score], ...]; class index
-        is 1-based (0 = background), mirroring the VOC convention. Returns
-        COCO AP (IoU .50:.95) and prints the summary triple."""
+        is 1-based (0 = background), mirroring the VOC convention. Runs the
+        full COCOeval bbox protocol (crowds as ignore regions, per-image
+        maxDets, area ranges), writes ``detections_results.json`` (COCO
+        result format), prints the 12-metric summary, and returns AP
+        (IoU .50:.95, area=all, maxDets=100)."""
         os.makedirs(output_dir, exist_ok=True)
-        iou_thrs = np.arange(0.5, 1.0, 0.05)
-        ap_per_cls = np.full((len(iou_thrs), self.num_classes), np.nan)
 
+        gt_by_img_cat = {}
+        for _, iid in self.ids:
+            ann, areas = self.annotations[iid], self.gt_areas[iid]
+            crowd, crowd_areas = self.crowds[iid], self.crowd_areas[iid]
+            for c in range(self.num_classes):
+                g = ann[:, 4] == c
+                k = crowd[:, 4] == c
+                if not g.any() and not k.any():
+                    continue
+                boxes = np.concatenate([ann[g][:, :4], crowd[k][:, :4]])
+                iscrowd = np.concatenate(
+                    [np.zeros(int(g.sum()), bool), np.ones(int(k.sum()), bool)])
+                area = np.concatenate([areas[g], crowd_areas[k]])
+                gt_by_img_cat[(iid, c)] = (boxes, iscrowd, area)
+
+        dt_by_img_cat = {}
+        results_json = []
         for c in range(self.num_classes):
-            # Gather detections and GT for this class over all images.
-            dets = []  # (img_index, score, box)
-            for im_ind in range(len(self.ids)):
+            for im_ind, (_, iid) in enumerate(self.ids):
                 d = all_boxes[c + 1][im_ind]
                 if d is None or len(d) == 0:
                     continue
-                for row in np.asarray(d):
-                    dets.append((im_ind, row[4], row[:4]))
-            gts = {}
-            npos = 0
-            for im_ind, (_, iid) in enumerate(self.ids):
-                ann = self.annotations[iid]
-                g = ann[ann[:, 4] == c][:, :4]
-                gts[im_ind] = g
-                npos += len(g)
-            if npos == 0:
-                continue
-            if not dets:
-                ap_per_cls[:, c] = 0.0
-                continue
-            dets.sort(key=lambda t: -t[1])
-            dets = dets[: 100 * len(self.ids)]
+                d = np.asarray(d, np.float64).reshape(-1, 5)
+                dt_by_img_cat[(iid, c)] = d
+                for row in d:
+                    results_json.append({
+                        "image_id": int(iid),
+                        "category_id": int(self.contiguous_to_cat[c]),
+                        "bbox": [float(row[0]), float(row[1]),
+                                 float(row[2] - row[0]), float(row[3] - row[1])],
+                        "score": float(row[4]),
+                    })
+        with open(os.path.join(output_dir, "detections_results.json"), "w") as f:
+            json.dump(results_json, f)
 
-            for ti, thr in enumerate(iou_thrs):
-                matched = {im: np.zeros(len(g), bool) for im, g in gts.items()}
-                tp = np.zeros(len(dets))
-                fp = np.zeros(len(dets))
-                for di, (im, _, bb) in enumerate(dets):
-                    g = gts[im]
-                    if len(g) == 0:
-                        fp[di] = 1
-                        continue
-                    ixmin = np.maximum(g[:, 0], bb[0])
-                    iymin = np.maximum(g[:, 1], bb[1])
-                    ixmax = np.minimum(g[:, 2], bb[2])
-                    iymax = np.minimum(g[:, 3], bb[3])
-                    iw = np.maximum(ixmax - ixmin, 0)
-                    ih = np.maximum(iymax - iymin, 0)
-                    inter = iw * ih
-                    uni = (
-                        (bb[2] - bb[0]) * (bb[3] - bb[1])
-                        + (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
-                        - inter
-                    )
-                    ious = inter / np.maximum(uni, 1e-12)
-                    # best unmatched GT
-                    order = np.argsort(-ious)
-                    hit = -1
-                    for j in order:
-                        if ious[j] < thr:
-                            break
-                        if not matched[im][j]:
-                            hit = j
-                            break
-                    if hit >= 0:
-                        matched[im][hit] = True
-                        tp[di] = 1
-                    else:
-                        fp[di] = 1
-                tp_c = np.cumsum(tp)
-                fp_c = np.cumsum(fp)
-                rec = tp_c / npos
-                prec = tp_c / np.maximum(tp_c + fp_c, 1e-12)
-                # 101-point interpolation (COCOeval protocol)
-                rthrs = np.linspace(0, 1, 101)
-                mprec = prec.copy()
-                for i in range(len(mprec) - 1, 0, -1):
-                    mprec[i - 1] = max(mprec[i - 1], mprec[i])
-                inds = np.searchsorted(rec, rthrs, side="left")
-                q = np.zeros(101)
-                valid = inds < len(mprec)
-                q[valid] = mprec[inds[valid]]
-                ap_per_cls[ti, c] = q.mean()
-
-        ap = np.nanmean(ap_per_cls)
-        ap50 = np.nanmean(ap_per_cls[0])
-        ap75 = np.nanmean(ap_per_cls[5])
-        print(f"COCO AP={ap:.4f} AP50={ap50:.4f} AP75={ap75:.4f}")
-        return float(ap)
+        stats = _coco_eval.evaluate(
+            gt_by_img_cat, dt_by_img_cat,
+            img_ids=[iid for _, iid in self.ids],
+            cat_ids=list(range(self.num_classes)),
+        )
+        for line in stats.summary_lines():
+            print(line)
+        return float(stats["AP"])
