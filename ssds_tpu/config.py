@@ -95,6 +95,7 @@ def default_config() -> AttrDict:
             SCORE_THRESHOLD=0.01,
             IOU_THRESHOLD=0.6,
             MAX_DETECTIONS=100,
+            TOP_K=200,
             VARIANCE=[0.1, 0.2],
         ),
         DATASET=_ad(

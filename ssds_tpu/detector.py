@@ -48,6 +48,7 @@ class ObjectDetector:
             score_threshold=float(cfg.POST_PROCESS.SCORE_THRESHOLD),
             iou_threshold=float(cfg.POST_PROCESS.IOU_THRESHOLD),
             max_detections=int(cfg.POST_PROCESS.MAX_DETECTIONS),
+            top_k=int(cfg.POST_PROCESS.TOP_K),
             variance=tuple(cfg.POST_PROCESS.VARIANCE),
         )
         means = jnp.asarray(cfg.DATASET.PIXEL_MEANS, jnp.float32)

