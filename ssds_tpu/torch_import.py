@@ -96,8 +96,22 @@ def import_torch_checkpoint(variables: dict, pth_path: str, verbose: bool = True
         sd = sd["state_dict"]
     sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
 
+    def _ordered_subseq(prefix, path):
+        """True when every prefix component appears in ``path`` in ORDER
+        (position-preserving): guards the relaxed fallback against loading a
+        tensor into an unrelated same-shaped parameter whose path merely
+        CONTAINS the components in a different arrangement."""
+        j = 0
+        for p in prefix:
+            while j < len(path) and path[j] != p:
+                j += 1
+            if j == len(path):
+                return False
+            j += 1
+        return True
+
     flat = {k: np.asarray(v) for k, v in traverse_util.flatten_dict(variables).items()}
-    loaded, missed = 0, []
+    loaded, missed, relaxed_log = 0, [], []
     for tkey, tval in sd.items():
         if tkey.endswith("num_batches_tracked"):
             continue
@@ -109,23 +123,31 @@ def import_torch_checkpoint(variables: dict, pth_path: str, verbose: bool = True
             if k[1:len(prefix) + 1] == prefix and k[-1] == leaf_name
             and len(k) == len(prefix) + 2
         ]
+        relaxed = False
         if not hits:
-            # relaxed: match by suffix anywhere under the prefix head
+            # relaxed: prefix components as an ordered subsequence of the path
             hits = [
                 k for k in flat
-                if k[-1] == leaf_name and all(p in k for p in prefix)
+                if k[-1] == leaf_name and _ordered_subseq(prefix, k)
             ]
+            relaxed = True
         placed = False
         for k in hits:
             if flat[k].shape == arr.shape:
                 flat[k] = arr.astype(flat[k].dtype)
                 loaded += 1
                 placed = True
+                if relaxed:
+                    relaxed_log.append((tkey, "/".join(map(str, k))))
                 break
         if not placed:
             missed.append(tkey)
     if verbose:
         print(f"torch import: {loaded} tensors loaded, {len(missed)} unmatched")
+        if relaxed_log:
+            print(f"  {len(relaxed_log)} relaxed-match placements (verify):")
+            for t, f in relaxed_log[:8]:
+                print(f"    {t} -> {f}")
         if missed[:5]:
             print("  first unmatched:", missed[:5])
     return traverse_util.unflatten_dict(flat)

@@ -135,3 +135,34 @@ def test_full_ssd300_reference_checkpoint_import():
         placed += 1
     assert placed == n_expected
     assert n_expected > 60  # vgg 15 convs*2 + extras 8*2 + heads 12*2 + norm
+
+
+def test_relaxed_match_requires_ordered_subsequence():
+    """Regression (ADVICE r1 low): the relaxed fallback must not place a
+    tensor into a same-shaped parameter whose path contains the prefix
+    components out of order."""
+    import os
+    import tempfile
+
+    variables = {"params": {
+        # decoy whose path has the components REVERSED relative to the
+        # torch key's module order, same leaf shape
+        "conf_adapter": {"head": {"kernel": np.zeros((3, 3, 4, 8), np.float32)}},
+        "head": {"conf0": {"kernel": np.zeros((3, 3, 4, 8), np.float32)}},
+    }}
+    sd = {"conf.0.weight": torch.ones((8, 4, 3, 3))}
+    pth = os.path.join(tempfile.mkdtemp(), "w.pth")
+    torch.save(sd, pth)
+    out = import_torch_checkpoint(variables, pth, verbose=False)
+    # exact path exists -> loads there, decoy untouched
+    assert out["params"]["head"]["conf0"]["kernel"].any()
+    assert not out["params"]["conf_adapter"]["head"]["kernel"].any()
+
+    # with the exact target absent, the out-of-order decoy must NOT receive
+    # the tensor (ordered-subsequence check): ('conf_adapter','head',...) has
+    # 'head' AFTER the conf component while the prefix is ('head','conf0')
+    variables2 = {"params": {
+        "conf_adapter": {"head": {"kernel": np.zeros((3, 3, 4, 8), np.float32)}},
+    }}
+    out2 = import_torch_checkpoint(variables2, pth, verbose=False)
+    assert not out2["params"]["conf_adapter"]["head"]["kernel"].any()
