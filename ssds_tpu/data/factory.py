@@ -94,7 +94,7 @@ class DetectionLoader:
 
     def __init__(self, dataset, batch_size: int, max_gt: int, shuffle: bool,
                  drop_last: bool, num_workers: int = 4, seed: int = 0,
-                 shard_id: int = 0, num_shards: int = 1):
+                 shard_id: int = 0, num_shards: int = 1, image_range=None):
         import os
 
         self.dataset = dataset
@@ -102,6 +102,8 @@ class DetectionLoader:
         self.max_gt = max_gt
         self.shuffle = shuffle
         self.drop_last = drop_last
+        # contiguous [start, end) restriction — the multi-host eval shard
+        self.image_range = image_range
         # Worker processes only help with spare cores; on a 1-2 core host
         # the fork/pickle overhead makes them a net loss — load inline.
         cores = len(os.sched_getaffinity(0)) if hasattr(os, "sched_getaffinity") else (
@@ -116,7 +118,10 @@ class DetectionLoader:
         self.num_shards = max(1, num_shards)
 
     def _shard_indices(self):
-        idx = list(range(len(self.dataset)))
+        if self.image_range is not None:
+            idx = list(range(self.image_range[0], self.image_range[1]))
+        else:
+            idx = list(range(len(self.dataset)))
         if self.shuffle:
             rng = random.Random(self.seed + self.epoch)
             rng.shuffle(idx)
@@ -124,8 +129,21 @@ class DetectionLoader:
             idx = idx[self.shard_id::self.num_shards]
         return idx
 
+    def range_view(self, start: int, end: int) -> "DetectionLoader":
+        """A new loader over the contiguous image range [start, end) of the
+        same dataset (sequential, keep-all) — one process's eval shard."""
+        return DetectionLoader(
+            self.dataset, batch_size=self.batch_size, max_gt=self.max_gt,
+            shuffle=False, drop_last=False, num_workers=self.num_workers,
+            seed=self.seed, image_range=(start, end),
+        )
+
     def __len__(self):
-        n = len(self.dataset) // self.num_shards
+        if self.image_range is not None:
+            n_total = self.image_range[1] - self.image_range[0]
+        else:
+            n_total = len(self.dataset)
+        n = n_total // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

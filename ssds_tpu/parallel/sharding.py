@@ -64,6 +64,34 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def allgather_pickled(obj):
+    """Gather an arbitrary picklable host object from every process; returns
+    the list of all processes' objects (same order on every host).
+
+    Built on two rounds of ``multihost_utils.process_allgather`` over uint8
+    buffers (sizes first, then max-padded payloads) — no shared filesystem
+    assumed, the bytes ride the same ICI/DCN fabric as the training
+    collectives. This is the merge primitive for sharded multi-host eval.
+    """
+    import pickle
+
+    procs = jax.process_count()
+    if procs == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([data.size], np.int64))  # [procs, 1]
+    buf = np.zeros(int(sizes.max()), np.uint8)
+    buf[: data.size] = data
+    bufs = multihost_utils.process_allgather(buf)  # [procs, max_size]
+    return [
+        pickle.loads(np.asarray(bufs[p][: int(sizes[p, 0])]).tobytes())
+        for p in range(procs)
+    ]
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch pytree with the batch dim sharded over chips.
 

@@ -523,20 +523,25 @@ class Solver:
             writer.add_scalar("Eval/mAP", mAP, epoch)
         return mAP
 
-    def _run_detection_eval(self, loader):
+    def _collect_detections(self, loader, offset: int = 0):
+        """Run the eval forward over ``loader``; returns
+        ``{global_img_index: {class: [N,5] (x1,y1,x2,y2,score) px}}``.
+
+        ``offset`` is the global index of the loader's first image (nonzero
+        for a multi-host range shard)."""
         if self._eval_forward is None:
             self._eval_forward = self.make_eval_forward()
         params = self.state.params if self.state is not None else self.params
         batch_stats = self.state.batch_stats if self.state is not None else self.batch_stats
-        dataset = loader.dataset
         num_classes = self.post_cfg.num_classes
-        n_images = len(dataset)
-        all_boxes = [[[] for _ in range(n_images)] for _ in range(num_classes)]
-        img_index = 0
+        n_expected = (
+            loader.image_range[1] - loader.image_range[0]
+            if loader.image_range is not None else len(loader.dataset)
+        )
 
-        # Shard eval over the mesh only single-process: with multiple hosts
-        # the result would span non-addressable devices and could not be
-        # fetched with np.asarray (each host evaluates on its local device).
+        # Shard the forward over the mesh only single-process: with multiple
+        # hosts each process evaluates its own image range on its local
+        # devices and the results merge host-side (allgather_pickled).
         sharding = (
             batch_sharding(self.mesh)
             if len(self.mesh.devices) > 1 and jax.process_count() == 1
@@ -558,16 +563,19 @@ class Solver:
             if pending is not None:
                 yield np.asarray(pending[0]), pending[1]
 
+        results = {}
+        img_index = 0
         for dets, sizes in forward_batches():
             b = dets.shape[0]
             for i in range(b):
-                if img_index >= n_images:
+                if img_index >= n_expected:
                     break
                 if sizes is not None:
                     h, w = sizes[i]
                 else:
                     h, w = self.img_hw
                 scale = np.array([w, h, w, h], np.float32)
+                per_cls = {}
                 for c in range(1, num_classes):
                     rows = dets[i, c]
                     keep = rows[:, 0] > 0
@@ -575,8 +583,42 @@ class Solver:
                         continue
                     boxes = rows[keep][:, 1:5] * scale
                     scores = rows[keep][:, 0:1]
-                    all_boxes[c][img_index] = np.hstack([boxes, scores]).astype(np.float32)
+                    per_cls[c] = np.hstack([boxes, scores]).astype(np.float32)
+                if per_cls:
+                    results[offset + img_index] = per_cls
                 img_index += 1
+        return results
+
+    def _run_detection_eval(self, loader, procs=None, pid=None, gather=None):
+        """mAP eval. Multi-host: each process forwards its contiguous image
+        range, detections merge via an ICI/DCN allgather (no shared
+        filesystem needed), and every host computes the same mAP.
+        ``procs``/``pid``/``gather`` are injectable for tests."""
+        from ssds_tpu.parallel.sharding import allgather_pickled
+
+        procs = jax.process_count() if procs is None else procs
+        pid = jax.process_index() if pid is None else pid
+        gather = gather if gather is not None else allgather_pickled
+        dataset = loader.dataset
+        n_images = len(dataset)
+        num_classes = self.post_cfg.num_classes
+
+        if procs > 1:
+            start = pid * n_images // procs
+            end = (pid + 1) * n_images // procs
+            local = loader.range_view(start, end)
+            dets = self._collect_detections(local, offset=start)
+            merged = {}
+            for shard in gather(dets):
+                merged.update(shard)
+            dets = merged
+        else:
+            dets = self._collect_detections(loader)
+
+        all_boxes = [[[] for _ in range(n_images)] for _ in range(num_classes)]
+        for idx, per_cls in dets.items():
+            for c, arr in per_cls.items():
+                all_boxes[c][idx] = arr
         return dataset.evaluate_detections(all_boxes, self.exp_dir)
 
     def test_model(self):

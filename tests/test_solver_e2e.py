@@ -156,3 +156,23 @@ def test_solver_overfit_reaches_high_ap(tmp_path):
     solver.train_model()  # 75 epochs x 2 steps = 150 steps
     mAP = solver.test_model()
     assert mAP > 0.8, f"overfit mAP too low: {mAP}"
+
+    # Sharded multi-host eval (VERDICT r1 item 9): two simulated processes
+    # each forward HALF the image range; the host-side merge must reproduce
+    # the single-process mAP exactly.
+    loader = solver.get_loader("test")
+    n = len(loader.dataset)
+
+    def gather_two_shards(local):
+        other = solver._collect_detections(
+            loader.range_view(n // 2, n), offset=n // 2)
+        return [local, other]
+
+    mAP_sharded = solver._run_detection_eval(
+        loader, procs=2, pid=0, gather=gather_two_shards)
+    assert mAP_sharded == pytest.approx(mAP, abs=1e-9)
+
+    # single-process allgather_pickled is the identity
+    from ssds_tpu.parallel.sharding import allgather_pickled
+
+    assert allgather_pickled({"a": 1}) == [{"a": 1}]
