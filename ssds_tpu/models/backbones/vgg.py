@@ -27,14 +27,20 @@ from __future__ import annotations
 
 from typing import List
 
-from ssds_tpu.models.layers import Conv, LayerSpec, MaxPool, ReLU
+from ssds_tpu.models.layers import Conv, LayerSpec, MaxPool, ReLU, S2DConv
 
 _VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "C", 512, 512, 512, "M", 512, 512, 512]
 
 
-def vgg16() -> List[LayerSpec]:
-    """Build the SSD-VGG16 layer-spec list (35 entries, indices above)."""
+def vgg16(s2d_block: int = 0) -> List[LayerSpec]:
+    """Build the SSD-VGG16 layer-spec list (35 entries, indices above).
+
+    ``s2d_block >= 2`` evaluates conv1_1 via the exact space-to-depth
+    rewrite (:class:`S2DConv`) — same function, same checkpoint tree, same
+    layer indices; only the MXU schedule of the 3-channel stem changes
+    (cfg ``MODEL.S2D_STEM``)."""
     specs: List[LayerSpec] = []
+    first_conv = True
     for v in _VGG16_CFG:
         if v == "M":
             specs.append(lambda: MaxPool(window=2, stride=2))
@@ -42,7 +48,11 @@ def vgg16() -> List[LayerSpec]:
             specs.append(lambda: MaxPool(window=2, stride=2, ceil_mode=True))
         else:
             ch = int(v)
-            specs.append(lambda ch=ch: Conv(ch, kernel=3, padding=1))
+            if first_conv and s2d_block >= 2:
+                specs.append(lambda ch=ch: S2DConv(ch, block=s2d_block))
+            else:
+                specs.append(lambda ch=ch: Conv(ch, kernel=3, padding=1))
+            first_conv = False
             specs.append(lambda: ReLU())
     # SSD tail (reference vgg.py: pool5 + dilated conv6 + conv7).
     specs.append(lambda: MaxPool(window=3, stride=1, padding=1))

@@ -45,7 +45,15 @@ def create_model(model_cfg):
         raise KeyError(f"unknown backbone MODEL.NETS={model_cfg.NETS!r}")
     if model_cfg.SSDS not in ssds_map:
         raise KeyError(f"unknown head MODEL.SSDS={model_cfg.SSDS!r}")
-    base = networks_map[model_cfg.NETS]()
+    s2d = int(model_cfg.get("S2D_STEM", 0) or 0)
+    if s2d >= 2:
+        if str(model_cfg.NETS) != "vgg16":
+            raise ValueError("MODEL.S2D_STEM is implemented for vgg16 only")
+        from ssds_tpu.models.backbones.vgg import vgg16 as _vgg16
+
+        base = _vgg16(s2d_block=s2d)
+    else:
+        base = networks_map[model_cfg.NETS]()
     mbox = num_anchors_per_cell(model_cfg.ASPECT_RATIOS)
     builder = ssds_map[model_cfg.SSDS]
     if str(model_cfg.SSDS).startswith("yolo"):

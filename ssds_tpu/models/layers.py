@@ -100,6 +100,96 @@ class Conv(nn.Module):
         return x
 
 
+def space_to_depth(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/b, W/b, b*b*C], channel index (dy*b+dx)*C+c."""
+    b_, h, w, c = x.shape
+    x = x.reshape(b_, h // block, block, w // block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b_, h // block, w // block, block * block * c)
+
+
+def depth_to_space(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    b_, hs, ws, cs = x.shape
+    c = cs // (block * block)
+    x = x.reshape(b_, hs, ws, block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b_, hs * block, ws * block, c)
+
+
+def expand_s2d_kernel(w: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Exact space-to-depth rewrite of a k3/s1/p1 conv kernel.
+
+    Given ``w [3, 3, Cin, Cout]``, returns ``[3, 3, b²·Cin, b²·Cout]`` such
+    that ``d2s(conv_p1(s2d(x, b), w_s2d)) == conv_p1(x, w)`` exactly: output
+    position (b·Y+dy, b·X+dx) reads input row ``ry = dy+ky-1``, which lives
+    in s2d tile ``KY = ry//b + 1`` at sub-row ``ry % b``. Zero-filled slots
+    contribute nothing, so imported reference checkpoints keep their logits
+    bit-for-bit (the MXU sees b²·Cin input lanes instead of Cin).
+    """
+    k, _, cin, cout = w.shape
+    assert k == 3, "s2d rewrite implemented for 3x3 stride-1 pad-1 convs"
+    out = jnp.zeros((3, 3, block * block * cin, block * block * cout), w.dtype)
+    for dy in range(block):
+        for dx in range(block):
+            o0 = (dy * block + dx) * cout
+            for ky in range(k):
+                for kx in range(k):
+                    ry, rx = dy + ky - 1, dx + kx - 1
+                    KY, dyp = ry // block + 1, ry % block
+                    KX, dxp = rx // block + 1, rx % block
+                    i0 = (dyp * block + dxp) * cin
+                    out = out.at[KY, KX, i0:i0 + cin, o0:o0 + cout].set(w[ky, kx])
+    return out
+
+
+class _ConvParams(nn.Module):
+    """Bare kernel+bias holder with nn.Conv's param names/inits, so an
+    S2DConv named like a Conv yields the IDENTICAL checkpoint tree."""
+
+    shape: Tuple[int, ...]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],)) \
+            if self.use_bias else None
+        return w, b
+
+
+class S2DConv(nn.Module):
+    """Space-to-depth evaluation of a 3x3 s1 p1 conv (exact same function).
+
+    The parameters ARE the plain conv's ``[3,3,Cin,Cout]`` kernel (at the
+    same flax path as :class:`Conv`, via the inner ``Conv_0`` holder), so
+    checkpoints are interchangeable with the plain stem; only the compute
+    schedule changes: s2d(b) -> 3x3 conv with b²·Cin input channels -> d2s.
+    Motivation: a 3-channel 300² stem conv uses 3/128 MXU input lanes
+    (SURVEY.md §2.9 perf items; BENCH_NOTES round-1 profile).
+    """
+
+    features: int
+    block: int = 2
+    relu: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        w, b = _ConvParams((3, 3, cin, self.features), name="Conv_0")()
+        ws = expand_s2d_kernel(w.astype(x.dtype), self.block)
+        xs = space_to_depth(x, self.block)
+        ys = jax.lax.conv_general_dilated(
+            xs, ws, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = depth_to_space(ys, self.block)
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        if self.relu:
+            y = nn.relu(y)
+        return y
+
+
 class ConvBNReLU(nn.Module):
     """conv → BN → activation; XLA fuses the chain into one kernel.
 

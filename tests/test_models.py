@@ -101,3 +101,66 @@ def test_eval_phase_softmax():
     x = jnp.zeros((1, 96, 96, 3))
     _, conf = model.apply(variables, x, phase="eval", train=False)
     assert jnp.allclose(jnp.sum(conf, axis=-1), 1.0, atol=1e-5)
+
+
+def test_s2d_conv_is_exact():
+    """expand_s2d_kernel: d2s(conv(s2d(x))) must equal conv(x) bit-for-bit in
+    f32 (the MFU stem rewrite, VERDICT r1 item 6)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssds_tpu.models.layers import (
+        depth_to_space, expand_s2d_kernel, space_to_depth)
+
+    rng = np.random.default_rng(0)
+    for block, h, w_, cin, cout in ((2, 12, 16, 3, 8), (4, 16, 16, 3, 8), (2, 10, 10, 5, 7)):
+        x = jnp.asarray(rng.normal(0, 1, (2, h, w_, cin)), jnp.float32)
+        w = jnp.asarray(rng.normal(0, 0.3, (3, 3, cin, cout)), jnp.float32)
+
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        ws = expand_s2d_kernel(w, block)
+        got = depth_to_space(
+            jax.lax.conv_general_dilated(
+                space_to_depth(x, block), ws, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")),
+            block)
+        assert np.allclose(np.asarray(ref), np.asarray(got), atol=1e-5), block
+
+
+def test_s2d_stem_model_same_logits_and_checkpoint_tree():
+    """MODEL.S2D_STEM=2 must keep (a) the flax param tree byte-identical to
+    the plain stem (checkpoints interchange) and (b) the model outputs equal
+    — the VERDICT 'same logits pre/post transform' import-equivalence."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssds_tpu.config import default_config
+    from ssds_tpu.models.builder import create_model, init_model
+
+    cfg = default_config()
+    cfg.MODEL.IMAGE_SIZE = [96, 96]
+    cfg.MODEL.FEATURE_LAYER = [[22, 34, "S"], [512, 1024, 512]]
+    cfg.MODEL.ASPECT_RATIOS = [[2], [2, 3], [2]]
+    cfg.MODEL.SIZES = [0.2, 0.5, 0.8, 0.95]
+
+    model_plain, fm1 = create_model(cfg.MODEL)
+    cfg.MODEL.S2D_STEM = 2
+    model_s2d, fm2 = create_model(cfg.MODEL)
+    assert fm1 == fm2
+
+    variables = init_model(model_plain, cfg.MODEL, jax.random.PRNGKey(0))
+    v2 = init_model(model_s2d, cfg.MODEL, jax.random.PRNGKey(1))
+    p1 = jax.tree_util.tree_structure(variables["params"])
+    p2 = jax.tree_util.tree_structure(v2["params"])
+    assert p1 == p2  # same checkpoint tree
+
+    x = jnp.asarray(np.random.default_rng(3).normal(0, 50, (2, 96, 96, 3)),
+                    jnp.float32)
+    loc1, conf1 = model_plain.apply(variables, x, phase="train", train=False)
+    loc2, conf2 = model_s2d.apply(variables, x, phase="train", train=False)
+    assert np.allclose(np.asarray(loc1), np.asarray(loc2), atol=2e-4)
+    assert np.allclose(np.asarray(conf1), np.asarray(conf2), atol=2e-4)
