@@ -23,16 +23,25 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=50, warmup=8):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    # The tunneled backend's block_until_ready can return before execution
+    # finishes, so sync with a device_get of a reduction over the output.
+    # Constant per-run overhead (dispatch + ~30 ms tunnel RTT) is cancelled
+    # by differencing a 2N-iteration run against an N-iteration run.
+    def run(n):
+        for _ in range(warmup):
+            out = fn(*args)
+        jax.device_get(jax.tree_util.tree_map(
+            lambda t: jnp.sum(t.astype(jnp.float32)), out))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.device_get(jax.tree_util.tree_map(
+            lambda t: jnp.sum(t.astype(jnp.float32)), out))
+        return time.perf_counter() - t0
+
     best = float("inf")
     for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
+        best = min(best, (run(2 * iters) - run(iters)) / iters)
     return best * 1e3  # ms
 
 

@@ -19,8 +19,13 @@ from ssds_tpu.solver import TrainState, build_train_step, configure_lr_scheduler
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64]
+    args = sys.argv[1:]
+    s2d = 0
+    if args and args[0].startswith("--s2d="):
+        s2d = int(args.pop(0).split("=")[1])
+    sizes = [int(a) for a in args] or [8, 16, 32, 64]
     cfg = default_config()
+    cfg.MODEL.S2D_STEM = s2d
     model, fmaps = create_model(cfg.MODEL)
     priors = jnp.asarray(create_priors(cfg.MODEL, fmaps))
     variables = init_model(model, cfg.MODEL)
@@ -44,12 +49,12 @@ def main():
         step = build_train_step(model, priors, False, (300, 300), jnp.bfloat16)
         for _ in range(3):  # compile + flush any aval churn
             state, m = step(state, batch)
-        jax.block_until_ready(m)
-        n = 30
+        jax.device_get(m)  # device_get, not block_until_ready: the tunneled
+        n = 30              # backend's block_until_ready can return early
         t0 = time.perf_counter()
         for _ in range(n):
             state, m = step(state, batch)
-        jax.block_until_ready(m)
+        jax.device_get(m)
         dt = (time.perf_counter() - t0) / n
         print(f"batch={bs}: {bs/dt:.1f} img/s  ({dt*1000:.1f} ms/step)", flush=True)
 
