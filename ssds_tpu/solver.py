@@ -40,7 +40,7 @@ from ssds_tpu.data.factory import load_data
 from ssds_tpu.models.builder import create_model, create_priors, init_model
 from ssds_tpu.ops.losses import multibox_loss
 from ssds_tpu.ops.postprocess import PostProcessConfig, detect, detect_decoded
-from ssds_tpu.ops.yolo import yolo_loss
+from ssds_tpu.ops.yolo import yolo_loss, yolo_v2_loss
 from ssds_tpu.parallel.sharding import batch_sharding, create_mesh, shard_batch
 
 
@@ -210,6 +210,7 @@ def build_train_step(model, priors, is_yolo: bool, img_hw, dtype, pixel_means=No
     (:mod:`ssds_tpu.ops.augment_device`) inside the step — use with a
     resize-only host pipeline (``DATASET.DEVICE_AUG``)."""
     anchors = [jnp.asarray(a, jnp.float32) for a in model.anchors] if is_yolo else None
+    yolo_v2 = is_yolo and getattr(model, "version", 3) == 2
     means = None if pixel_means is None else jnp.asarray(pixel_means, jnp.float32)
     aug_key = jax.random.PRNGKey(17)
 
@@ -234,7 +235,13 @@ def build_train_step(model, priors, is_yolo: bool, img_hw, dtype, pixel_means=No
                 variables, images.astype(dtype),
                 phase="train", train=True, mutable=["batch_stats"],
             )
-            if is_yolo:
+            if yolo_v2:
+                # darknet region-layer recipe; seen_images drives the
+                # prior-regression warm-up (first 12800 images)
+                ll, lc = yolo_v2_loss(
+                    out, anchors, boxes, labels, valid, img_hw,
+                    seen_images=state.step.astype(jnp.float32) * images.shape[0])
+            elif is_yolo:
                 ll, lc = yolo_loss(out, anchors, boxes, labels, valid, img_hw)
             else:
                 loc, conf = out
@@ -387,6 +394,9 @@ class Solver:
                 variables["batch_stats"] = batch_stats
             images = (batch["images"].astype(jnp.float32) - means).astype(dtype)
             out = model.apply(variables, images, phase="train", train=False)
+            if is_yolo and getattr(model, "version", 3) == 2:
+                return yolo_v2_loss(out, anchors, batch["boxes"], batch["labels"],
+                                    batch["valid"], img_hw)
             if is_yolo:
                 return yolo_loss(out, anchors, batch["boxes"], batch["labels"],
                                  batch["valid"], img_hw)
