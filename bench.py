@@ -60,23 +60,24 @@ def _stage_inference(fused: bool):
 
     # warmup (compile happened in the constructor; still warm the caches)
     for _ in range(10):
-        jax.block_until_ready(det._predict(det.variables, x))
+        det._predict(det.variables, x)
+    jax.device_get(jnp.sum(jnp.asarray(det._predict(det.variables, x), jnp.float32)))
 
     # Pipelined dispatch: JAX queues async step submissions so the
-    # host->device round-trip overlaps with device compute; blocking once at
-    # the end measures true device throughput. (In this environment the
-    # device is reached through a tunnel with ~27 ms RTT — per-call blocking
-    # would measure the tunnel, not the TPU.)
+    # host->device round-trip overlaps with device compute. Sync with a
+    # device_get of a reduction (this tunneled backend's block_until_ready
+    # can return early), and cancel the constant dispatch+RTT overhead by
+    # differencing a 2N-iteration run against an N-iteration run.
     def run(iters):
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):
             out = det._predict(det.variables, x)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters
+        jax.device_get(jnp.sum(jnp.asarray(out, jnp.float32)))
+        return time.perf_counter() - t0
 
     run(20)
-    per_step = min(run(100) for _ in range(3))
+    per_step = min((run(200) - run(100)) / 100 for _ in range(2))
     fps = 1.0 / per_step
     mode = "fused" if fused else "split"
     print(json.dumps({

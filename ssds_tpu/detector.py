@@ -78,17 +78,19 @@ class ObjectDetector:
             return _post(_forward(variables, img_u8))
 
         # The single fused program has the fewest launches (the batch-1
-        # latency path), but compiling it intermittently FAULTS the tunneled
-        # TPU backend — and a faulted device stays wedged for the process,
-        # so the fused attempt cannot even be used as a best-effort probe.
-        # Default: two chained programs (forward | detect), which compile
-        # reliably and cost one extra launch; opt into fused with
-        # SSDS_TPU_FUSED_PREDICT=1 on healthy backends.
+        # latency path) and is the default. Root cause of the round-1
+        # "fused compile faults the backend" bug (tools/fused_probe.py):
+        # the XLA lowering of broadcast-to-[B,C,K,4] + take_along_axis,
+        # when fused behind the conv forward, crashed the TPU worker;
+        # detect's candidate gather is now a vmapped fancy-index gather
+        # (ops/postprocess.py), which compiles clean and measures 841 img/s
+        # batch-1 vs 372 for the split programs. SSDS_TPU_FUSED_PREDICT=0
+        # remains as the escape hatch to the two-program path.
         import os
 
         h, w = self.img_hw
         dummy = jnp.zeros((1, h, w, 3), jnp.uint8)
-        if os.environ.get("SSDS_TPU_FUSED_PREDICT", "0") == "1":
+        if os.environ.get("SSDS_TPU_FUSED_PREDICT", "1") == "1":
             self._predict = _predict_fused
         else:
             self._predict = _predict_split

@@ -83,10 +83,19 @@ def _detect_batched(boxes_per_class, scores, config: PostProcessConfig):
     masked = jnp.where(bg_col[None, :, None], NEG_INF, masked)
     cand_scores, cand_idx = jax.lax.top_k(masked, top_k)  # [B, C, top_k]
     if boxes_per_class.shape[1] == 1:
-        boxes_per_class = jnp.broadcast_to(
-            boxes_per_class, (b, c) + boxes_per_class.shape[2:])
-    cand_boxes = jnp.take_along_axis(
-        boxes_per_class, cand_idx[..., None], axis=2)  # [B, C, top_k, 4]
+        # Classes share one box set (SSD/YOLO): gather [B,K,4] by [B,C*top_k]
+        # per batch element. This formulation (vs broadcasting to [B,C,K,4]
+        # and take_along_axis) never materializes the per-class copy AND is
+        # the one that compiles reliably when this program is fused behind
+        # the conv forward on TPU (tools/fused_probe.py round 2: the fused
+        # broadcast+take_along_axis lowering crashes the TPU worker; the
+        # vmapped fancy-index gather is clean and equally fast).
+        cand_boxes = jax.vmap(lambda bx, i: bx[i])(
+            boxes_per_class[:, 0], cand_idx.reshape(b, -1)
+        ).reshape(b, c, top_k, 4)
+    else:
+        cand_boxes = jnp.take_along_axis(
+            boxes_per_class, cand_idx[..., None], axis=2)  # [B, C, top_k, 4]
 
     keep = _nms_mask(
         cand_boxes.reshape(b * c, top_k, 4),
