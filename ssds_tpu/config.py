@@ -113,7 +113,11 @@ def default_config() -> AttrDict:
         ),
         # --- TPU-native additions (no reference equivalent; SURVEY.md §2.8) ---
         TPU=_ad(
-            MESH=_ad(DATA=-1),  # -1: all visible devices on the data axis
+            # -1: all visible devices on the data axis. SPATIAL > 1 splits
+            # the image-height dim over a second mesh axis (GSPMD spatial
+            # partitioning: XLA inserts halo exchanges for the convs) —
+            # the conv-net TP analogue, for inputs too large per chip.
+            MESH=_ad(DATA=-1, SPATIAL=1),
             COMPUTE_DTYPE="bfloat16",
             DONATE=True,
             DEBUG_NANS=False,  # jax debug_nans mode (SURVEY.md §5 sanitizer note)

@@ -12,12 +12,14 @@ torch.distributed). This module supplies what it lacks, TPU-idiomatically:
   ``jax.distributed.initialize()`` wires the coordinator and
   ``jax.devices()`` becomes the global device set.
 
-SP/TP/PP/EP are genuinely not applicable to SSD-class convnets (no sequence
-axis, no experts, model ≪ HBM; SURVEY.md §2.8) — the mesh abstraction is the
-extension point (add axes to ``MESH`` in the config) rather than fabricated
-unused parallelism layers. Spatial sharding of the conv H/W dims is the
-natural TP analogue and can be added as a second mesh axis without changing
-the step function.
+TP/PP/EP are genuinely not applicable to SSD-class convnets (no sequence
+axis, no experts, model ≪ HBM; SURVEY.md §2.8). The one model-axis strategy
+that IS meaningful for convnets — **spatial partitioning** (GSPMD shards the
+image-height dim; XLA inserts halo exchanges around every conv/pool) — is a
+second mesh axis here: set ``cfg.TPU.MESH.SPATIAL > 1`` and images are
+sharded ``P('data', 'spatial')`` while every other batch leaf stays
+``P('data')``. The step function does not change — sharding propagation
+derives every intermediate's layout and the halo collectives ride ICI.
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def initialize_distributed(coordinator: Optional[str] = None, **kwargs) -> None:
@@ -40,23 +43,34 @@ def initialize_distributed(coordinator: Optional[str] = None, **kwargs) -> None:
 def create_mesh(tpu_cfg=None, devices=None, batch_size: Optional[int] = None) -> Mesh:
     """Build the device mesh from ``cfg.TPU.MESH`` (``DATA: -1`` = all).
 
-    When ``batch_size`` is given, the data axis is clipped to the largest
-    device count that divides it (sharding requires batch % devices == 0).
+    ``MESH.SPATIAL > 1`` adds a spatial axis (image-height sharding); the
+    remaining devices go to the data axis. When ``batch_size`` is given,
+    the data axis is clipped to the largest device count that divides it
+    (sharding requires batch % devices == 0).
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    spatial = int(tpu_cfg.MESH.get("SPATIAL", 1)) if tpu_cfg is not None else 1
+    spatial = max(1, min(spatial, n))
     want = int(tpu_cfg.MESH.DATA) if tpu_cfg is not None else -1
-    if want in (-1, 0) or want > n:
-        want = n
+    if want in (-1, 0) or want > n // spatial:
+        want = n // spatial
     if batch_size is not None:
         while want > 1 and batch_size % want != 0:
             want -= 1
-    return Mesh(np.asarray(devices[:want]), (DATA_AXIS,))
+    dev = np.asarray(devices[: want * spatial]).reshape(want, spatial)
+    return Mesh(dev, (DATA_AXIS, SPATIAL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for [B, ...] arrays: batch split over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for [B, H, W, C] images: batch over data, height over the
+    spatial axis (a no-op partition when MESH.SPATIAL == 1)."""
+    return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:
@@ -101,8 +115,12 @@ def shard_batch(batch, mesh: Mesh):
     ``make_array_from_process_local_data`` assembles the global array.
     """
     s = batch_sharding(mesh)
-    if jax.process_count() == 1:
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
-    return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)), batch
-    )
+    s_img = image_sharding(mesh)
+
+    def put(key, x):
+        sh = s_img if key == "images" and np.ndim(x) == 4 else s
+        if jax.process_count() == 1:
+            return jax.device_put(x, sh)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return {k: put(k, v) for k, v in batch.items()}

@@ -192,3 +192,72 @@ def test_resume_continues_lr_schedule(tmp_path):
     # past warm-up: schedule returns the base lr, not the warm-up ramp
     base = float(cfg.TRAIN.OPTIMIZER.LEARNING_RATE)
     assert float(solver.lr_schedule(int(solver.state.step))) == pytest.approx(base)
+
+
+def test_spatial_mesh_from_config():
+    """MESH.SPATIAL carves a second axis; data axis still divides batch."""
+    from ssds_tpu.config import default_config
+    from ssds_tpu.parallel.sharding import create_mesh
+
+    cfg = default_config()
+    cfg.TPU.MESH.SPATIAL = 2
+    mesh = create_mesh(cfg.TPU, batch_size=8)
+    assert mesh.axis_names == ("data", "spatial")
+    assert mesh.devices.shape == (4, 2)
+    # spatial=1 default keeps all devices on data
+    cfg2 = default_config()
+    mesh2 = create_mesh(cfg2.TPU, batch_size=8)
+    assert mesh2.devices.shape == (8, 1)
+
+
+def test_spatially_sharded_step_matches_data_only():
+    """GSPMD spatial partitioning (images P('data','spatial')) must produce
+    the same loss as pure data sharding — halo exchanges are numerics-free."""
+    import numpy as np
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ssds_tpu.config import default_config
+    from ssds_tpu.models.builder import create_model, create_priors, init_model
+    from ssds_tpu.solver import TrainState, build_train_step
+
+    cfg = default_config()
+    cfg.MODEL.SSDS = "ssd_lite"
+    cfg.MODEL.NETS = "mobilenet_v1_025"
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.NUM_CLASSES = 3
+    cfg.MODEL.FEATURE_LAYER = [[11, 13], [128, 256]]
+    cfg.MODEL.ASPECT_RATIOS = [[2], [2]]
+    cfg.MODEL.SIZES = [0.2, 0.6, 0.9]
+    model, fmaps = create_model(cfg.MODEL)
+    priors = jnp.asarray(create_priors(cfg.MODEL, fmaps))
+    variables = init_model(model, cfg.MODEL, jax.random.PRNGKey(0))
+    tx = optax.sgd(0.01)
+
+    rng = np.random.default_rng(3)
+    batch = {
+        "images": jnp.asarray(rng.normal(0, 40, (4, 64, 64, 3)), jnp.float32),
+        "boxes": jnp.tile(jnp.asarray([0.2, 0.2, 0.7, 0.7]), (4, 4, 1)),
+        "labels": jnp.ones((4, 4), jnp.int32),
+        "valid": jnp.zeros((4, 4), bool).at[:, 0].set(True),
+    }
+
+    losses = {}
+    for name, mesh_shape in (("data", (4, 1)), ("spatial", (2, 2))):
+        params = jax.tree_util.tree_map(jnp.copy, variables["params"])
+        bstats = jax.tree_util.tree_map(jnp.copy, variables.get("batch_stats", {}))
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, batch_stats=bstats,
+            opt_state=tx.init(params), tx=tx)
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(mesh_shape),
+                    ("data", "spatial"))
+        img_s = NamedSharding(mesh, P("data", "spatial"))
+        dat_s = NamedSharding(mesh, P("data"))
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        db = {k: jax.device_put(v, img_s if k == "images" else dat_s)
+              for k, v in batch.items()}
+        step = build_train_step(model, priors, False, (64, 64), jnp.float32)
+        with mesh:
+            _, m = step(state, db)
+        losses[name] = float(m["loss"])
+    assert losses["spatial"] == pytest.approx(losses["data"], rel=1e-5), losses
