@@ -105,7 +105,14 @@ def main():
         b_ = jnp.maximum(t[:, ::2, 1::2], t[:, 1::2, 1::2])
         return jnp.maximum(a, b_)
 
-    for name, p in (("pool_rw", pool_rw), ("pool_slices", pool_slices)):
+    def pool_reshape(t):
+        # stride==kernel pooling as reshape+max: backward is a compare-mask
+        # broadcast instead of select_and_scatter
+        B, H, W, C = t.shape
+        return t.reshape(B, H // 2, 2, W // 2, 2, C).max(axis=(2, 4))
+
+    for name, p in (("pool_rw", pool_rw), ("pool_slices", pool_slices),
+                    ("pool_reshape", pool_reshape)):
         f3 = jax.jit(p)
         g3 = jax.jit(jax.grad(lambda t: (p(t).astype(jnp.float32) ** 2).sum()))
         print(f"{name:14s} fwd {timeit(f3, y):7.2f} ms   "
