@@ -55,7 +55,9 @@ def default_config() -> AttrDict:
             NUM_CLASSES=21,
             FEATURE_LAYER=[[22, 34, "S", "S", "", ""], [512, 1024, 512, 256, 256, 256]],
             STEPS=[],
-            S2D_STEM=0,  # >=2: exact space-to-depth stem rewrite (vgg16)
+            # -1 auto (tiled stem for vgg16 at even image sizes, +6.6% train
+            # step), 0 off, 2 force the exact shifted-k2 space-to-depth stem
+            S2D_STEM=-1,
             SIZES=[0.2, 0.95],
             ASPECT_RATIOS=[[2], [2, 3], [2, 3], [2, 3], [2], [2]],
             CLIP=True,

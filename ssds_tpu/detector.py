@@ -31,6 +31,12 @@ from ssds_tpu.ops.postprocess import PostProcessConfig, detect, detect_decoded
 class ObjectDetector:
     def __init__(self, cfg):
         self.cfg = cfg
+        if int(cfg.MODEL.get("S2D_STEM", 0) or 0) < 0:
+            # auto resolves OFF for the inference wrapper: the tiled stem's
+            # +6.6% is a train-step (batch-32) win; at batch 1 it costs ~3%
+            # (840 -> 817 img/s). The param tree is identical either way, so
+            # checkpoints interchange with the Solver's auto-ON models.
+            cfg.MODEL.S2D_STEM = 0
         self.model, self.feature_maps = create_model(cfg.MODEL)
         self.is_yolo = str(cfg.MODEL.SSDS).startswith("yolo")
         self.img_hw = (int(cfg.MODEL.IMAGE_SIZE[0]), int(cfg.MODEL.IMAGE_SIZE[1]))

@@ -27,7 +27,8 @@ from __future__ import annotations
 
 from typing import List
 
-from ssds_tpu.models.layers import Conv, LayerSpec, MaxPool, ReLU, S2DConv
+from ssds_tpu.models.layers import (
+    Conv, LayerSpec, MaxPool, ReLU, S2DBlockPool, S2DStemPairConv)
 
 _VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "C", 512, 512, 512, "M", 512, 512, 512]
 
@@ -35,24 +36,40 @@ _VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "C", 512, 512, 512, "M"
 def vgg16(s2d_block: int = 0) -> List[LayerSpec]:
     """Build the SSD-VGG16 layer-spec list (35 entries, indices above).
 
-    ``s2d_block >= 2`` evaluates conv1_1 via the exact space-to-depth
-    rewrite (:class:`S2DConv`) — same function, same checkpoint tree, same
-    layer indices; only the MXU schedule of the 3-channel stem changes
-    (cfg ``MODEL.S2D_STEM``)."""
+    ``s2d_block == 2`` evaluates the whole stem (conv1_1, conv1_2, pool1)
+    in 2x2 space-to-depth tiling with the exact shifted-k2 kernel rewrite
+    (:class:`S2DStemPairConv` / :class:`S2DBlockPool`) — same function,
+    same checkpoint tree, same layer indices; only the MXU schedule
+    changes. XLA runs 64-channel convs at ~1/7 roofline regardless of
+    spatial size (tools/conv_shape_matrix.py); the tiled stem runs at
+    256 channels and never pays a depth-to-space (cfg ``MODEL.S2D_STEM``)."""
     specs: List[LayerSpec] = []
-    first_conv = True
-    for v in _VGG16_CFG:
+    stem = _VGG16_CFG[:3]
+    rest = _VGG16_CFG[3:]
+    if s2d_block >= 2:
+        if s2d_block != 2:
+            raise ValueError(
+                "MODEL.S2D_STEM: the shifted-k2 stem rewrite is exact for "
+                "block 2 only (a 3x3 conv's 4-row window spans >2 blocks "
+                "for larger factors)")
+        assert stem == [64, 64, "M"]
+        specs += [
+            lambda: S2DStemPairConv(64, first=True),
+            lambda: ReLU(),
+            lambda: S2DStemPairConv(64),
+            lambda: ReLU(),
+            lambda: S2DBlockPool(),
+        ]
+    else:
+        rest = _VGG16_CFG
+    for v in rest:
         if v == "M":
             specs.append(lambda: MaxPool(window=2, stride=2))
         elif v == "C":
             specs.append(lambda: MaxPool(window=2, stride=2, ceil_mode=True))
         else:
             ch = int(v)
-            if first_conv and s2d_block >= 2:
-                specs.append(lambda ch=ch: S2DConv(ch, block=s2d_block))
-            else:
-                specs.append(lambda ch=ch: Conv(ch, kernel=3, padding=1))
-            first_conv = False
+            specs.append(lambda ch=ch: Conv(ch, kernel=3, padding=1))
             specs.append(lambda: ReLU())
     # SSD tail (reference vgg.py: pool5 + dilated conv6 + conv7).
     specs.append(lambda: MaxPool(window=3, stride=1, padding=1))

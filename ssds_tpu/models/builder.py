@@ -46,6 +46,10 @@ def create_model(model_cfg):
     if model_cfg.SSDS not in ssds_map:
         raise KeyError(f"unknown head MODEL.SSDS={model_cfg.SSDS!r}")
     s2d = int(model_cfg.get("S2D_STEM", 0) or 0)
+    if s2d < 0:  # auto: tiled stem wherever it is exact and faster
+        h, w = (int(v) for v in model_cfg.IMAGE_SIZE)
+        s2d = 2 if (str(model_cfg.NETS) == "vgg16"
+                    and h % 2 == 0 and w % 2 == 0) else 0
     if s2d >= 2:
         if str(model_cfg.NETS) != "vgg16":
             raise ValueError("MODEL.S2D_STEM is implemented for vgg16 only")

@@ -144,7 +144,7 @@ def expand_s2d_kernel(w: jnp.ndarray, block: int) -> jnp.ndarray:
 
 class _ConvParams(nn.Module):
     """Bare kernel+bias holder with nn.Conv's param names/inits, so an
-    S2DConv named like a Conv yields the IDENTICAL checkpoint tree."""
+    S2DStemPairConv named like a Conv yields the IDENTICAL checkpoint tree."""
 
     shape: Tuple[int, ...]
     use_bias: bool = True
@@ -157,37 +157,120 @@ class _ConvParams(nn.Module):
         return w, b
 
 
-class S2DConv(nn.Module):
-    """Space-to-depth evaluation of a 3x3 s1 p1 conv (exact same function).
+def expand_s2d_kernel_k2(w: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """Shifted-tiling 2x2 rewrite of a k3/s1/p1 conv kernel (stem scheme).
+
+    Returns ``[2, 2, 4·Cin, 4·Cout]`` such that a VALID 2x2 conv between
+    *alternating* space-to-depth tilings computes the original conv exactly:
+    the input tiling's block ``K`` holds logical rows ``{2K+s, 2K+1+s}`` and
+    the output tiling's block ``Y`` rows ``{2Y+s+1, 2Y+s+2}`` for any shift
+    ``s`` — an output row ``r`` reads input rows ``r-1..r+1``, a 4-row
+    window covering exactly two input blocks, hence kernel size 2 (vs 3 for
+    the same-tiling rewrite, 16/9 vs 4x FLOP inflation). Index algebra:
+    ``ky = 2·KY + py - dy`` (and likewise for x), zero outside ``0..2``.
+
+    Why: XLA's TPU conv codegen runs 64-channel convs at ~1/7 of the MXU
+    roofline regardless of spatial size (tools/conv_shape_matrix.py);
+    evaluating the VGG stem in 4·C-channel tiled space recovers full MXU
+    throughput (BENCH_NOTES round-2).
+    """
+    k, _, cin, cout = w.shape
+    assert k == 3 and block == 2, "k2 rewrite derived for 3x3 convs, block 2"
+    out = jnp.zeros((2, 2, 4 * cin, 4 * cout), w.dtype)
+    for dy in range(2):
+        for dx in range(2):
+            o0 = (dy * 2 + dx) * cout
+            for KY in range(2):
+                for KX in range(2):
+                    for py in range(2):
+                        for px in range(2):
+                            ky, kx = 2 * KY + py - dy, 2 * KX + px - dx
+                            if 0 <= ky < 3 and 0 <= kx < 3:
+                                i0 = (py * 2 + px) * cin
+                                out = out.at[
+                                    KY, KX, i0:i0 + cin, o0:o0 + cout
+                                ].set(w[ky, kx])
+    return out
+
+
+class S2DStemPairConv(nn.Module):
+    """One of the two VGG stem convs evaluated in 2x2 space-to-depth tiling.
 
     The parameters ARE the plain conv's ``[3,3,Cin,Cout]`` kernel (at the
     same flax path as :class:`Conv`, via the inner ``Conv_0`` holder), so
-    checkpoints are interchangeable with the plain stem; only the compute
-    schedule changes: s2d(b) -> 3x3 conv with b²·Cin input channels -> d2s.
-    Motivation: a 3-channel 300² stem conv uses 3/128 MXU input lanes
-    (SURVEY.md §2.9 perf items; BENCH_NOTES round-1 profile).
+    checkpoints and the torch importer are untouched; only the compute
+    schedule changes. ``first=True`` takes the normal-space image, tiles it
+    (aligned), and emits the *shifted* tiling ``[H/2+1, W/2+1, 4·C]`` whose
+    out-of-range border sub-rows are zeroed (they are exactly the next
+    conv's SAME padding). ``first=False`` consumes that shifted tiling and
+    emits the aligned tiling ``[H/2, W/2, 4·C]``. Chained as
+    conv→relu→conv→relu→:class:`S2DBlockPool`, the stem never leaves tiled
+    space, so no depth-to-space transpose exists anywhere — the reassembly
+    cost that sank the round-1 same-tiling S2D stem (BENCH_NOTES).
     """
 
     features: int
+    first: bool = False
     block: int = 2
-    relu: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cin = x.shape[-1]
-        w, b = _ConvParams((3, 3, cin, self.features), name="Conv_0")()
-        ws = expand_s2d_kernel(w.astype(x.dtype), self.block)
-        xs = space_to_depth(x, self.block)
-        ys = jax.lax.conv_general_dilated(
-            xs, ws, (1, 1), ((1, 1), (1, 1)),
+        b = self.block
+        cin = x.shape[-1] if self.first else x.shape[-1] // (b * b)
+        w, bias = _ConvParams((3, 3, cin, self.features), name="Conv_0")()
+        w2 = expand_s2d_kernel_k2(w.astype(x.dtype), b)
+        if self.first:
+            xs = space_to_depth(x, b)
+            xs = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        else:
+            xs = x
+        y = jax.lax.conv_general_dilated(
+            xs, w2, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        y = depth_to_space(ys, self.block)
-        if b is not None:
-            y = y + b.astype(y.dtype)
-        if self.relu:
-            y = nn.relu(y)
+        if bias is not None:
+            y = y + jnp.tile(bias, b * b).astype(y.dtype)
+        if self.first:
+            # Zero the logical rows -1/H (cols -1/W) that the shifted tiling
+            # carries at its borders: group dy=0 of the first block row is
+            # logical row -1, group dy=1 of the last is row H. They are the
+            # second conv's SAME-padding zeros (relu keeps them zero). Built
+            # as a broadcast over the channel axis — a reshape to split the
+            # 4·C minor dim costs a lane relayout of the whole tensor
+            # (tools/s2d_stem_bench.py v2 vs v3).
+            _, hs, ws_, _ = y.shape
+            row = jnp.arange(hs)[:, None, None]
+            col = jnp.arange(ws_)[None, :, None]
+            g = jnp.repeat(jnp.arange(b * b), self.features)[None, None, :]
+            gy, gx = g // b, g % b
+            mask = ((row > 0) | (gy != 0)) & ((row < hs - 1) | (gy != 1)) & \
+                   ((col > 0) | (gx != 0)) & ((col < ws_ - 1) | (gx != 1))
+            y = jnp.where(mask[None], y, 0)
         return y
+
+
+class S2DBlockPool(nn.Module):
+    """pool1 evaluated in aligned 2x2 tiling: a 2x2/s2 max pool is exactly
+    the max over the 4 sub-position channel groups, landing back in normal
+    space at ``[H/2, W/2, C]`` with zero data movement (replaces the
+    reduce_window + select_and_scatter pair of :class:`MaxPool`)."""
+
+    block: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = self.block
+        cs = x.shape[-1]
+        # Tree of pairwise maxima over channel halves: the first stage slices
+        # at the lane-aligned midpoint, so only the last (smallest) stage
+        # pays a sub-128-lane slice (tools/s2d_stem_bench.py v3 vs v4: the
+        # reshape/axis-max form relayouts the whole tensor).
+        n_groups = b * b
+        while n_groups > 1:
+            cs //= 2
+            x = jnp.maximum(x[..., :cs], x[..., cs:])
+            n_groups //= 2
+        return x
 
 
 class ConvBNReLU(nn.Module):

@@ -147,6 +147,7 @@ def test_s2d_stem_model_same_logits_and_checkpoint_tree():
     cfg.MODEL.ASPECT_RATIOS = [[2], [2, 3], [2]]
     cfg.MODEL.SIZES = [0.2, 0.5, 0.8, 0.95]
 
+    cfg.MODEL.S2D_STEM = 0  # default is -1 = auto (which picks the tiled stem)
     model_plain, fm1 = create_model(cfg.MODEL)
     cfg.MODEL.S2D_STEM = 2
     model_s2d, fm2 = create_model(cfg.MODEL)
