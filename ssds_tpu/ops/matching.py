@@ -69,8 +69,12 @@ def match(
     best_truth_idx = jnp.where(is_forced, forced_gt, best_truth_idx)
     best_truth_overlap = jnp.where(is_forced, 2.0, best_truth_overlap)
 
-    matched = truths[best_truth_idx]  # [K, 4]
-    conf_t = labels[best_truth_idx].astype(jnp.int32) + 1
+    # Gather GT rows per prior via one-hot select: row gathers from [G,*]
+    # lower to ~2 ms/step scalar-gather fusions on TPU, while the [K,G]
+    # compare + reduce is a fused VPU op (profile: tools/step_profile.py).
+    sel = best_truth_idx[:, None] == gt_ids[None, :]  # [K, G] exact one-hot
+    matched = jnp.einsum("kg,gd->kd", sel.astype(truths.dtype), truths)  # [K, 4]
+    conf_t = jnp.sum(jnp.where(sel, labels[None, :].astype(jnp.int32) + 1, 0), axis=1)
     conf_t = jnp.where(best_truth_overlap < threshold, 0, conf_t)
     loc_t = encode(matched, priors, variances)
     # Padded-out images (no valid GT at all) are pure background.
