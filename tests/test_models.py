@@ -165,3 +165,41 @@ def test_s2d_stem_model_same_logits_and_checkpoint_tree():
     loc2, conf2 = model_s2d.apply(variables, x, phase="train", train=False)
     assert np.allclose(np.asarray(loc1), np.asarray(loc2), atol=2e-4)
     assert np.allclose(np.asarray(conf1), np.asarray(conf2), atol=2e-4)
+
+
+def test_s2d_auto_resolution():
+    """S2D_STEM=-1 (auto): the builder picks the tiled stem for vgg16 at
+    even image sizes (train-side +6.6%), plain otherwise; ObjectDetector
+    resolves auto to the plain stem (batch-1 is faster untiled). Both
+    share one checkpoint tree, so this is purely a compute-schedule knob."""
+    from ssds_tpu.config import default_config
+    from ssds_tpu.models.builder import create_model
+    from ssds_tpu.models.layers import Conv, S2DStemPairConv
+
+    cfg = default_config()
+    assert int(cfg.MODEL.S2D_STEM) == -1  # default is auto
+
+    model, _ = create_model(cfg.MODEL)  # vgg16 at 300x300 -> tiled
+    assert isinstance(model.base[0](), S2DStemPairConv)
+
+    cfg.MODEL.IMAGE_SIZE = [301, 301]  # odd -> plain
+    model, _ = create_model(cfg.MODEL)
+    assert isinstance(model.base[0](), Conv)
+
+    cfg = default_config()
+    cfg.MODEL.NETS = "mobilenet_v1"  # non-vgg16 -> auto resolves off, no error
+    cfg.MODEL.FEATURE_LAYER = [[11, 13], [512, 1024]]
+    cfg.MODEL.ASPECT_RATIOS = [[2], [2, 3]]
+    create_model(cfg.MODEL)
+
+    # ObjectDetector: auto resolves to plain (inference-side)
+    cfg = default_config()
+    cfg.MODEL.SSDS = "ssd_lite"
+    cfg.MODEL.NETS = "mobilenet_v1_025"
+    cfg.MODEL.IMAGE_SIZE = [96, 96]
+    cfg.MODEL.FEATURE_LAYER = [[11, 13], [128, 256]]
+    cfg.MODEL.ASPECT_RATIOS = [[2], [2]]
+    cfg.MODEL.SIZES = [0.3, 0.6, 0.9]
+    from ssds_tpu.detector import ObjectDetector
+    det = ObjectDetector(cfg)
+    assert int(det.cfg.MODEL.S2D_STEM) == 0
