@@ -249,6 +249,39 @@ class S2DStemPairConv(nn.Module):
         return y
 
 
+@jax.custom_vjp
+def _group_max4(x):
+    """Max over 4 equal channel groups: ``[..., 4C] -> [..., C]``.
+
+    Custom VJP: jnp.maximum's tie-splitting gradient (grad / #maxima) lowers
+    to ~4.6 ms/step of divide+select fusions at stem scale; first-max-wins
+    routing (torch maxpool backward semantics — the parity target anyway)
+    is pure compare+select."""
+    c = x.shape[-1] // 4
+    return jnp.maximum(jnp.maximum(x[..., :c], x[..., c:2 * c]),
+                       jnp.maximum(x[..., 2 * c:3 * c], x[..., 3 * c:]))
+
+
+def _group_max4_fwd(x):
+    out = _group_max4(x)
+    return out, (x, out)
+
+
+def _group_max4_bwd(res, g):
+    x, out = res
+    c = out.shape[-1]
+    taken = jnp.zeros(out.shape, bool)
+    grads = []
+    for i in range(4):
+        eq = (x[..., i * c:(i + 1) * c] == out) & ~taken
+        grads.append(jnp.where(eq, g, 0))
+        taken = taken | eq
+    return (jnp.concatenate(grads, axis=-1),)
+
+
+_group_max4.defvjp(_group_max4_fwd, _group_max4_bwd)
+
+
 class S2DBlockPool(nn.Module):
     """pool1 evaluated in aligned 2x2 tiling: a 2x2/s2 max pool is exactly
     the max over the 4 sub-position channel groups, landing back in normal
@@ -260,11 +293,9 @@ class S2DBlockPool(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = self.block
+        if b * b == 4:
+            return _group_max4(x)
         cs = x.shape[-1]
-        # Tree of pairwise maxima over channel halves: the first stage slices
-        # at the lane-aligned midpoint, so only the last (smallest) stage
-        # pays a sub-128-lane slice (tools/s2d_stem_bench.py v3 vs v4: the
-        # reshape/axis-max form relayouts the whole tensor).
         n_groups = b * b
         while n_groups > 1:
             cs //= 2
