@@ -27,7 +27,11 @@ import jax.numpy as jnp
 
 from ssds_tpu.ops.boxes import iou_pairwise, jaccard
 
-NEG_INF = jnp.float32(-1e30)
+# Python float, NOT a jnp array: a module-level jnp constant would
+# initialize the default (possibly TPU) backend at import time, breaking
+# TPU-free import contracts (dryrun_multichip, tests/test_import_tpu_free).
+# Weak typing makes it bit-equivalent to jnp.float32(-1e30) in every use.
+NEG_INF = -1e30
 
 
 @partial(jax.jit, static_argnames=("iou_threshold", "top_k"))
