@@ -111,9 +111,15 @@ class MultiboxHead(nn.Module):
 
 
 def finalize(phase: str, loc: jnp.ndarray, conf: jnp.ndarray):
-    """Phase-dependent output packaging (train: raw; eval: softmaxed conf)."""
+    """Phase-dependent output packaging (train: raw; eval: softmaxed conf;
+    joint: both from ONE forward — the single-pass eval epoch's contract)."""
     if phase == "eval":
         return loc.astype(jnp.float32), jax.nn.softmax(conf.astype(jnp.float32), axis=-1)
+    if phase == "joint":
+        return (loc, conf), (
+            loc.astype(jnp.float32),
+            jax.nn.softmax(conf.astype(jnp.float32), axis=-1),
+        )
     return loc, conf
 
 

@@ -107,8 +107,8 @@ class YOLO(nn.Module):
         if phase == "train":
             return raw
 
-        # 'eval': decode each scale against its pixel anchors, then package
-        # SSD-compatible (boxes, scores-with-background) tensors.
+        # 'eval'/'joint': decode each scale against its pixel anchors, then
+        # package SSD-compatible (boxes, scores-with-background) tensors.
         boxes_all, scores_all = [], []
         for r, anchors_px in zip(raw, self.anchors):
             boxes, obj, cls = decode_scale(r.astype(jnp.float32), jnp.asarray(anchors_px), img_hw)
@@ -117,7 +117,11 @@ class YOLO(nn.Module):
             bg = (1.0 - obj)[..., None]
             boxes_all.append(boxes)
             scores_all.append(jnp.concatenate([bg, cls_scores], axis=-1))
-        return jnp.concatenate(boxes_all, axis=1), jnp.concatenate(scores_all, axis=1)
+        decoded = (jnp.concatenate(boxes_all, axis=1),
+                   jnp.concatenate(scores_all, axis=1))
+        if phase == "joint":
+            return raw, decoded
+        return decoded
 
 
 # Default pixel anchors (YOLO papers, 416 input), high-res scale first.

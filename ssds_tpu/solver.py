@@ -137,6 +137,13 @@ def trainable_mask(params, scope: str):
     flat = traverse_util.flatten_dict(params)
     labels = {k: ("train" if ckpt_lib.path_in_scope(k, scope) else "freeze") for k in flat}
     if all(v == "freeze" for v in labels.values()):
+        if str(scope).strip():
+            # fail loud: a typo'd scope silently training the whole model
+            # would be invisible (reference trainable_param errors here)
+            print(
+                f"warning: TRAINABLE_SCOPE '{scope}' matches no parameter "
+                "path; training ALL parameters instead", flush=True,
+            )
         labels = {k: "train" for k in flat}
     return traverse_util.unflatten_dict(labels)
 
@@ -305,6 +312,7 @@ class Solver:
         self._train_step = None
         self._eval_forward = None
         self._eval_loss = None
+        self._eval_step = None
         self._checkpointer = None
         self.state: Optional[TrainState] = None
 
@@ -405,6 +413,44 @@ class Solver:
                                  batch["valid"], priors)
 
         return eval_loss
+
+    def make_eval_step(self):
+        """Fused single-pass eval: ONE forward per batch yields BOTH the
+        eval loss and the decoded detections (reference ``eval_epoch``
+        iterates its loader once for loss + mAP, lib/ssds_train.py:~230;
+        round 2 double-forwarded the eval set — this closes that gap).
+        Uses ``phase='joint'`` (raw head outputs + eval packaging from the
+        same backbone pass)."""
+        model, priors, is_yolo, img_hw = self.model, self.priors, self.is_yolo, self.img_hw
+        dtype = self.compute_dtype
+        post = self.post_cfg
+        means = jnp.asarray(tuple(self.cfg.DATASET.PIXEL_MEANS), jnp.float32)
+        anchors = (
+            [jnp.asarray(a, jnp.float32) for a in model.anchors] if is_yolo else None
+        )
+
+        @jax.jit
+        def eval_step(params, batch_stats, batch):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            images = (batch["images"].astype(jnp.float32) - means).astype(dtype)
+            raw, decoded = model.apply(variables, images, phase="joint", train=False)
+            if is_yolo:
+                loss_fn = yolo_v2_loss if getattr(model, "version", 3) == 2 else yolo_loss
+                ll, lc = loss_fn(raw, anchors, batch["boxes"], batch["labels"],
+                                 batch["valid"], img_hw)
+                boxes, scores = decoded
+                dets = detect_decoded(boxes, scores, post)
+            else:
+                loc, conf = raw
+                ll, lc = multibox_loss(loc, conf, batch["boxes"], batch["labels"],
+                                      batch["valid"], priors)
+                loc_f, conf_sm = decoded
+                dets = detect(loc_f, conf_sm, priors, post)
+            return ll, lc, dets
+
+        return eval_step
 
     def make_eval_forward(self):
         model, priors, is_yolo = self.model, self.priors, self.is_yolo
@@ -512,20 +558,10 @@ class Solver:
         return {k: float(v) / n for k, v in acc.items()}
 
     def eval_epoch(self, epoch, writer=None):
+        # single loader pass: loss AND detections from one forward per
+        # batch (reference eval_epoch behavior, via make_eval_step)
         loader = self.get_loader("eval")
-        # loss on the eval set (reference eval_epoch behavior)
-        if self._eval_loss is None:
-            self._eval_loss = self.make_eval_loss()
-        params = self.state.params if self.state is not None else self.params
-        batch_stats = self.state.batch_stats if self.state is not None else self.batch_stats
-        sums, n = [0.0, 0.0], 0
-        for batch in loader:
-            ll, lc = self._eval_loss(params, batch_stats, batch)
-            sums[0] += float(ll)
-            sums[1] += float(lc)
-            n += 1
-        loss_l, loss_c = sums[0] / max(1, n), sums[1] / max(1, n)
-        mAP = self._run_detection_eval(loader)
+        mAP, loss_l, loss_c = self._run_detection_eval(loader, with_loss=True)
         print(f"eval epoch {epoch}: loss_l={loss_l:.4f} loss_c={loss_c:.4f} mAP={mAP:.4f}")
         if writer:
             writer.add_scalar("Eval/loss_loc", loss_l, epoch)
@@ -533,13 +569,18 @@ class Solver:
             writer.add_scalar("Eval/mAP", mAP, epoch)
         return mAP
 
-    def _collect_detections(self, loader, offset: int = 0):
+    def _collect_detections(self, loader, offset: int = 0, with_loss: bool = False):
         """Run the eval forward over ``loader``; returns
-        ``{global_img_index: {class: [N,5] (x1,y1,x2,y2,score) px}}``.
+        ``(results, loss_sums)`` where results is
+        ``{global_img_index: {class: [N,5] (x1,y1,x2,y2,score) px}}`` and
+        loss_sums is ``(sum_loss_l, sum_loss_c, n_batches)`` when
+        ``with_loss`` (else None) — both from ONE pass over the loader.
 
         ``offset`` is the global index of the loader's first image (nonzero
         for a multi-host range shard)."""
-        if self._eval_forward is None:
+        if with_loss and self._eval_step is None:
+            self._eval_step = self.make_eval_step()
+        if not with_loss and self._eval_forward is None:
             self._eval_forward = self.make_eval_forward()
         params = self.state.params if self.state is not None else self.params
         batch_stats = self.state.batch_stats if self.state is not None else self.batch_stats
@@ -558,6 +599,8 @@ class Solver:
             else None
         )
 
+        loss_acc = []  # device scalars; fetched once at the end (no syncs)
+
         def forward_batches():
             # One-deep pipeline: dispatch batch k+1's forward before fetching
             # batch k — the host transfer overlaps device compute.
@@ -566,7 +609,14 @@ class Solver:
                 images = batch["images"]
                 if sharding is not None and images.shape[0] % len(self.mesh.devices) == 0:
                     images = jax.device_put(images, sharding)
-                out = self._eval_forward(params, batch_stats, images)
+                if with_loss:
+                    ll, lc, out = self._eval_step(
+                        params, batch_stats,
+                        {"images": images, "boxes": batch["boxes"],
+                         "labels": batch["labels"], "valid": batch["valid"]})
+                    loss_acc.append((ll, lc))
+                else:
+                    out = self._eval_forward(params, batch_stats, images)
                 if pending is not None:
                     yield np.asarray(pending[0]), pending[1]
                 pending = (out, batch.get("sizes"))
@@ -597,13 +647,25 @@ class Solver:
                 if per_cls:
                     results[offset + img_index] = per_cls
                 img_index += 1
-        return results
+        loss_sums = None
+        if with_loss:
+            fetched = jax.device_get(loss_acc)
+            loss_sums = (
+                float(sum(ll for ll, _ in fetched)),
+                float(sum(lc for _, lc in fetched)),
+                len(fetched),
+            )
+        return results, loss_sums
 
-    def _run_detection_eval(self, loader, procs=None, pid=None, gather=None):
+    def _run_detection_eval(self, loader, procs=None, pid=None, gather=None,
+                            with_loss: bool = False):
         """mAP eval. Multi-host: each process forwards its contiguous image
-        range, detections merge via an ICI/DCN allgather (no shared
-        filesystem needed), and every host computes the same mAP.
-        ``procs``/``pid``/``gather`` are injectable for tests."""
+        range, detections (and loss sums when ``with_loss``) merge via an
+        ICI/DCN allgather (no shared filesystem needed), and every host
+        computes the same mAP (and global mean loss).
+        ``procs``/``pid``/``gather`` are injectable for tests.
+
+        Returns mAP, or ``(mAP, loss_l, loss_c)`` when ``with_loss``."""
         from ssds_tpu.parallel.sharding import allgather_pickled
 
         procs = jax.process_count() if procs is None else procs
@@ -617,19 +679,26 @@ class Solver:
             start = pid * n_images // procs
             end = (pid + 1) * n_images // procs
             local = loader.range_view(start, end)
-            dets = self._collect_detections(local, offset=start)
-            merged = {}
-            for shard in gather(dets):
-                merged.update(shard)
-            dets = merged
+            dets, loss_sums = self._collect_detections(
+                local, offset=start, with_loss=with_loss)
+            merged, sums = {}, [0.0, 0.0, 0]
+            for shard_dets, shard_sums in gather((dets, loss_sums)):
+                merged.update(shard_dets)
+                if shard_sums is not None:
+                    sums = [a + b for a, b in zip(sums, shard_sums)]
+            dets, loss_sums = merged, tuple(sums)
         else:
-            dets = self._collect_detections(loader)
+            dets, loss_sums = self._collect_detections(loader, with_loss=with_loss)
 
         all_boxes = [[[] for _ in range(n_images)] for _ in range(num_classes)]
         for idx, per_cls in dets.items():
             for c, arr in per_cls.items():
                 all_boxes[c][idx] = arr
-        return dataset.evaluate_detections(all_boxes, self.exp_dir)
+        mAP = dataset.evaluate_detections(all_boxes, self.exp_dir)
+        if not with_loss:
+            return mAP
+        n = max(1, loss_sums[2])
+        return mAP, loss_sums[0] / n, loss_sums[1] / n
 
     def test_model(self):
         if self.state is None:
