@@ -14,6 +14,7 @@ upload and one [C,top_k,5] download.
 
 from __future__ import annotations
 
+import copy
 import time
 from functools import partial
 from typing import Tuple
@@ -31,19 +32,23 @@ from ssds_tpu.ops.postprocess import PostProcessConfig, detect, detect_decoded
 class ObjectDetector:
     def __init__(self, cfg):
         self.cfg = cfg
-        if int(cfg.MODEL.get("S2D_STEM", 0) or 0) < 0:
+        model_cfg = cfg.MODEL
+        if int(model_cfg.get("S2D_STEM", 0) or 0) < 0:
             # auto resolves OFF for the inference wrapper: the tiled stem's
             # +6.6% is a train-step (batch-32) win; at batch 1 it costs ~3%
             # (840 -> 817 img/s). The param tree is identical either way, so
             # checkpoints interchange with the Solver's auto-ON models.
-            cfg.MODEL.S2D_STEM = 0
-        self.model, self.feature_maps = create_model(cfg.MODEL)
-        self.is_yolo = str(cfg.MODEL.SSDS).startswith("yolo")
-        self.img_hw = (int(cfg.MODEL.IMAGE_SIZE[0]), int(cfg.MODEL.IMAGE_SIZE[1]))
-        self.half = bool(cfg.MODEL.HALF_PRECISION)
-        priors = None if self.is_yolo else create_priors(cfg.MODEL, self.feature_maps)
+            # Resolved on a COPY: the caller's cfg stays auto, so a Solver
+            # built later from the same object still resolves auto-ON.
+            model_cfg = copy.deepcopy(model_cfg)
+            model_cfg.S2D_STEM = 0
+        self.model, self.feature_maps = create_model(model_cfg)
+        self.is_yolo = str(model_cfg.SSDS).startswith("yolo")
+        self.img_hw = (int(model_cfg.IMAGE_SIZE[0]), int(model_cfg.IMAGE_SIZE[1]))
+        self.half = bool(model_cfg.HALF_PRECISION)
+        priors = None if self.is_yolo else create_priors(model_cfg, self.feature_maps)
 
-        variables = init_model(self.model, cfg.MODEL, jax.random.PRNGKey(0))
+        variables = init_model(self.model, model_cfg, jax.random.PRNGKey(0))
         if cfg.RESUME_CHECKPOINT:
             variables = ckpt_lib.resume_checkpoint(variables, cfg.RESUME_CHECKPOINT, "")
         self.variables = variables

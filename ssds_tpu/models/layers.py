@@ -292,16 +292,12 @@ class S2DBlockPool(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        b = self.block
-        if b * b == 4:
-            return _group_max4(x)
-        cs = x.shape[-1]
-        n_groups = b * b
-        while n_groups > 1:
-            cs //= 2
-            x = jnp.maximum(x[..., :cs], x[..., cs:])
-            n_groups //= 2
-        return x
+        # Only block == 2 exists in practice (vgg16 rejects other blocks).
+        # A generic pairwise-max fallback would also inherit jnp.maximum's
+        # tie-SPLITTING gradient, silently diverging from the first-max-wins
+        # VJP of _group_max4 — so fail loud instead of differing quietly.
+        assert self.block == 2, f"S2DBlockPool supports block=2 only, got {self.block}"
+        return _group_max4(x)
 
 
 class ConvBNReLU(nn.Module):

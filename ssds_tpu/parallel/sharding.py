@@ -58,6 +58,12 @@ def create_mesh(tpu_cfg=None, devices=None, batch_size: Optional[int] = None) ->
     if batch_size is not None:
         while want > 1 and batch_size % want != 0:
             want -= 1
+    if want * spatial < n:
+        print(
+            f"warning: mesh uses {want * spatial}/{n} devices "
+            f"(data={want}, spatial={spatial}; adjust TPU.MESH.SPATIAL or "
+            f"the batch size to use every chip)", flush=True,
+        )
     dev = np.asarray(devices[: want * spatial]).reshape(want, spatial)
     return Mesh(dev, (DATA_AXIS, SPATIAL_AXIS))
 
@@ -113,14 +119,28 @@ def shard_batch(batch, mesh: Mesh):
     contributes its PROCESS-LOCAL slice of the global batch (the loader is
     sharded by process — see ``load_data(..., shard_id, num_shards)``) and
     ``make_array_from_process_local_data`` assembles the global array.
+
+    ``batch`` may be any pytree; a leaf whose final path key is ``images``
+    and which is 4-D shards its height dim over the spatial axis too.
     """
     s = batch_sharding(mesh)
     s_img = image_sharding(mesh)
+    n_spatial = mesh.shape[SPATIAL_AXIS]
 
-    def put(key, x):
-        sh = s_img if key == "images" and np.ndim(x) == 4 else s
+    def put(path, x):
+        is_img = (
+            bool(path)
+            and getattr(path[-1], "key", getattr(path[-1], "name", None)) == "images"
+            and np.ndim(x) == 4
+        )
+        if is_img and n_spatial > 1 and x.shape[1] % n_spatial != 0:
+            raise ValueError(
+                f"image height {x.shape[1]} not divisible by the spatial "
+                f"mesh axis ({n_spatial}); pick TPU.MESH.SPATIAL dividing H"
+            )
+        sh = s_img if is_img else s
         if jax.process_count() == 1:
             return jax.device_put(x, sh)
         return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
-    return {k: put(k, v) for k, v in batch.items()}
+    return jax.tree_util.tree_map_with_path(put, batch)

@@ -192,7 +192,9 @@ def test_s2d_auto_resolution():
     cfg.MODEL.ASPECT_RATIOS = [[2], [2, 3]]
     create_model(cfg.MODEL)
 
-    # ObjectDetector: auto resolves to plain (inference-side)
+    # ObjectDetector: auto resolves to plain (inference-side) WITHOUT
+    # mutating the caller's cfg (ADVICE r2: a Solver built later from the
+    # same cfg object must still see auto and resolve tiled-ON for training)
     cfg = default_config()
     cfg.MODEL.SSDS = "ssd_lite"
     cfg.MODEL.NETS = "mobilenet_v1_025"
@@ -200,6 +202,8 @@ def test_s2d_auto_resolution():
     cfg.MODEL.FEATURE_LAYER = [[11, 13], [128, 256]]
     cfg.MODEL.ASPECT_RATIOS = [[2], [2]]
     cfg.MODEL.SIZES = [0.3, 0.6, 0.9]
+    auto_before = int(cfg.MODEL.get("S2D_STEM", 0) or 0)
     from ssds_tpu.detector import ObjectDetector
     det = ObjectDetector(cfg)
-    assert int(det.cfg.MODEL.S2D_STEM) == 0
+    assert int(det.cfg.MODEL.get("S2D_STEM", 0) or 0) == auto_before  # unmutated
+    assert det.cfg is cfg
