@@ -68,10 +68,9 @@ class BasicRFB(nn.Module):
 
         out = jnp.concatenate([b0, b1, b2], axis=-1)
         out = c(self.features, 1, 1, 0, act="none")(out)
-        if self.stride == 1 and x.shape[-1] == self.features:
-            shortcut = x
-        else:
-            shortcut = c(self.features, 1, self.stride, 0, act="none")(x)
+        # the reference always applies a learned 1x1 shortcut conv (BasicConv
+        # relu=False) — never an identity — so weight import stays 1:1
+        shortcut = c(self.features, 1, self.stride, 0, act="none")(x)
         return nn.relu(out * self.scale + shortcut)
 
 
@@ -116,7 +115,8 @@ class BasicRFB_a(nn.Module):
 
         out = jnp.concatenate([b0, b1, b2, b3], axis=-1)
         out = c(self.features, 1, 1, act="none")(out)
-        shortcut = x if x.shape[-1] == self.features else c(self.features, 1, 1, act="none")(x)
+        # learned 1x1 shortcut, unconditional (reference parity — see BasicRFB)
+        shortcut = c(self.features, 1, 1, act="none")(x)
         return nn.relu(out * self.scale + shortcut)
 
 
