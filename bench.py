@@ -40,28 +40,39 @@ FAULT_COOLDOWN_S = 60  # tunneled backend recovers from a fault in ~1 min
 # stages (each runs in its own subprocess; prints ONE json line on success)
 # --------------------------------------------------------------------------
 
-def _stage_inference(fused: bool):
+def _stage_inference(fused: bool, size: int = 300):
     os.environ["SSDS_TPU_FUSED_PREDICT"] = "1" if fused else "0"
+    import statistics
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from ssds_tpu.config import default_config
+    from ssds_tpu.config import cfg_from_file, default_config
     from ssds_tpu.detector import ObjectDetector
 
-    cfg = default_config()
-    cfg.MODEL.SSDS = "ssd"
-    cfg.MODEL.NETS = "vgg16"
+    if size == 512:
+        here = os.path.dirname(os.path.abspath(__file__))
+        cfg = cfg_from_file(
+            os.path.join(here, "experiments/cfgs/ssd_vgg16_train_voc_512.yml"))
+        cfg.RESUME_CHECKPOINT = ""
+    else:
+        cfg = default_config()
+        cfg.MODEL.SSDS = "ssd"
+        cfg.MODEL.NETS = "vgg16"
     det = ObjectDetector(cfg)
 
     rng = np.random.default_rng(0)
-    img = rng.integers(0, 255, (1, 300, 300, 3), dtype=np.uint8)
+    img = rng.integers(0, 255, (1, size, size, 3), dtype=np.uint8)
     x = jnp.asarray(img)
 
     # warmup (compile happened in the constructor; still warm the caches)
     for _ in range(10):
         det._predict(det.variables, x)
     jax.device_get(jnp.sum(jnp.asarray(det._predict(det.variables, x), jnp.float32)))
+
+    def sync(out):
+        jax.device_get(jnp.sum(jnp.asarray(out, jnp.float32)))
 
     # Pipelined dispatch: JAX queues async step submissions so the
     # host->device round-trip overlaps with device compute. Sync with a
@@ -73,18 +84,40 @@ def _stage_inference(fused: bool):
         out = None
         for _ in range(iters):
             out = det._predict(det.variables, x)
-        jax.device_get(jnp.sum(jnp.asarray(out, jnp.float32)))
+        sync(out)
         return time.perf_counter() - t0
 
     run(20)
-    per_step = min((run(200) - run(100)) / 100 for _ in range(2))
+    # Median-of-5 with spread: the tunneled chip varies ±20% run-to-run on
+    # this quantity (BENCH_NOTES), so the artifact carries its own error bar.
+    samples = sorted((run(200) - run(100)) / 100 for _ in range(5))
+    per_step = statistics.median(samples)
+    spread_pct = 100.0 * (samples[-1] - samples[0]) / per_step
     fps = 1.0 / per_step
+
+    # Per-call p50/p90 latency, one synced call at a time (reference
+    # demo.py -t time / lib/ssds.py:~100 timing mode). Includes the ~27 ms
+    # host<->device tunnel RTT of this environment — an on-host client
+    # would see dispatch+compute only.
+    lat = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        sync(det._predict(det.variables, x))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat.sort()
+    p50, p90 = lat[len(lat) // 2], lat[int(len(lat) * 0.9)]
+
     mode = "fused" if fused else "split"
     print(json.dumps({
-        "metric": "ssd300_vgg16_batch1_fps",
+        "metric": f"ssd{size}_vgg16_batch1_fps",
         "value": round(fps, 2),
-        "unit": f"images/sec (batch-1, pipelined, one chip, {mode} predict)",
+        "unit": f"images/sec (batch-1, pipelined, one chip, {mode} predict; "
+                "median of 5)",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "spread_pct": round(spread_pct, 1),
+        "p50_ms": round(p50, 2),
+        "p90_ms": round(p90, 2),
+        "p50_note": "per-call synced latency incl ~27ms tunnel RTT",
     }), flush=True)
 
 
@@ -134,6 +167,8 @@ def _stage_train():
 STAGES = {
     "fused": lambda: _stage_inference(fused=True),
     "split": lambda: _stage_inference(fused=False),
+    "fused512": lambda: _stage_inference(fused=True, size=512),
+    "split512": lambda: _stage_inference(fused=False, size=512),
     "train": _stage_train,
 }
 
@@ -199,6 +234,16 @@ def main():
                     "see stderr)",
             "vs_baseline": 0,
         }
+    elif "batch1" in result.get("metric", ""):
+        # Secondary stage: SSD512 batch-1, attached to the primary line
+        # (BASELINE.json names both SSD300 and SSD512). Failure here never
+        # blocks the primary result.
+        for name in ("fused512", "split512"):
+            extra = _run_stage(name)
+            if extra is not None:
+                result["ssd512"] = extra
+                break
+            time.sleep(FAULT_COOLDOWN_S)
     print(json.dumps(result), flush=True)
 
 
