@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssds_tpu import checkpoint as ckpt_lib
+from ssds_tpu.compile_cache import enable_compile_cache
 from ssds_tpu.models.builder import create_model, create_priors, init_model
 from ssds_tpu.ops.postprocess import PostProcessConfig, detect, detect_decoded
 
@@ -32,6 +33,7 @@ from ssds_tpu.ops.postprocess import PostProcessConfig, detect, detect_decoded
 class ObjectDetector:
     def __init__(self, cfg):
         self.cfg = cfg
+        enable_compile_cache()
         model_cfg = cfg.MODEL
         if int(model_cfg.get("S2D_STEM", 0) or 0) < 0:
             # auto resolves OFF for the inference wrapper: the tiled stem's

@@ -263,19 +263,23 @@ def _group_max4(x):
 
 
 def _group_max4_fwd(x):
-    out = _group_max4(x)
-    return out, (x, out)
+    c = x.shape[-1] // 4
+    x0, x1 = x[..., :c], x[..., c:2 * c]
+    x2, x3 = x[..., 2 * c:3 * c], x[..., 3 * c:]
+    out = jnp.maximum(jnp.maximum(x0, x1), jnp.maximum(x2, x3))
+    # First-max-wins winner index, stored int8: the residual is 1/8 the size
+    # of keeping x (+ the backward becomes 4 independent equal-selects
+    # instead of a serialized eq/taken chain — measured faster at stem scale).
+    idx = jnp.where(
+        x0 == out, jnp.int8(0),
+        jnp.where(x1 == out, jnp.int8(1),
+                  jnp.where(x2 == out, jnp.int8(2), jnp.int8(3))))
+    return out, (idx,)
 
 
 def _group_max4_bwd(res, g):
-    x, out = res
-    c = out.shape[-1]
-    taken = jnp.zeros(out.shape, bool)
-    grads = []
-    for i in range(4):
-        eq = (x[..., i * c:(i + 1) * c] == out) & ~taken
-        grads.append(jnp.where(eq, g, 0))
-        taken = taken | eq
+    (idx,) = res
+    grads = [jnp.where(idx == jnp.int8(i), g, 0) for i in range(4)]
     return (jnp.concatenate(grads, axis=-1),)
 
 

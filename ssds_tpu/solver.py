@@ -35,6 +35,7 @@ import optax
 from flax import core, struct, traverse_util
 
 from ssds_tpu import checkpoint as ckpt_lib
+from ssds_tpu.compile_cache import enable_compile_cache
 from ssds_tpu.config import AttrDict
 from ssds_tpu.data.factory import load_data
 from ssds_tpu.models.builder import create_model, create_priors, init_model
@@ -189,9 +190,16 @@ def configure_optimizer(train_cfg, schedule):
     dlr = list(getattr(o, "DIFFERENTIAL_LEARNING_RATE", []) or [])
 
     def wrap(params):
+        # NOTE (round-3 measurement): wrapping the all-trainable case in
+        # optax.flatten looked like a 9.8 ms/step win on the per-op profile
+        # (71 per-tensor multiply_add momentum fusions), but measured 6%
+        # SLOWER end-to-end (605 vs 642 img/s, BENCH_NOTES round 3): those
+        # fusions were weight-grad finalization fused WITH the update, and
+        # flattening broke the fusions and added ravel/concat/split copies.
+        # The per-tensor tree update stays.
         labels = trainable_mask(params, scope)
-        transforms = {"train": make_tx(), "freeze": optax.set_to_zero()}
         flat_labels = traverse_util.flatten_dict(labels)
+        transforms = {"train": make_tx(), "freeze": optax.set_to_zero()}
         for i, entry in enumerate(dlr):
             dscope, mult = str(entry[0]), float(entry[1])
             key = f"dlr{i}"
@@ -273,6 +281,7 @@ class Solver:
 
     def __init__(self, cfg: AttrDict):
         self.cfg = cfg
+        enable_compile_cache()
         if bool(cfg.TPU.get("DEBUG_NANS", False)):
             jax.config.update("jax_debug_nans", True)
         self.mesh = create_mesh(cfg.TPU, batch_size=int(cfg.TRAIN.BATCH_SIZE))

@@ -207,3 +207,51 @@ def test_s2d_auto_resolution():
     det = ObjectDetector(cfg)
     assert int(det.cfg.MODEL.get("S2D_STEM", 0) or 0) == auto_before  # unmutated
     assert det.cfg is cfg
+
+
+def test_group_max4_first_max_wins_vjp():
+    """The tiled-stem pool backward routes a tied maximum's gradient to the
+    FIRST maximal group only (torch maxpool semantics), never splitting it.
+    Guards the argmax-residual reformulation of the custom VJP."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssds_tpu.models.layers import _group_max4
+
+    # groups 1 and 3 tie for the max in channel 0; group 1 must win
+    x = jnp.asarray(np.array([[0.5, 2.0, -1.0, 2.0],
+                              [3.0, 3.0, 3.0, 3.0],
+                              [1.0, 0.0, 4.0, 2.0]], np.float32))
+    out, vjp = jax.vjp(_group_max4, x)
+    np.testing.assert_array_equal(np.asarray(out).ravel(), [2.0, 3.0, 4.0])
+    (gx,) = vjp(jnp.ones_like(out))
+    np.testing.assert_array_equal(
+        np.asarray(gx),
+        [[0.0, 1.0, 0.0, 0.0],   # tie between groups 1,3 -> first (1) wins
+         [1.0, 0.0, 0.0, 0.0],   # 4-way tie -> group 0
+         [0.0, 0.0, 1.0, 0.0]])  # unique max in group 2
+
+    # against the plain 2x2 maxpool on a random tensor with engineered ties
+    rng = np.random.default_rng(0)
+    img = rng.integers(-3, 4, (1, 8, 8, 5)).astype(np.float32)
+
+    from ssds_tpu.models.layers import space_to_depth
+
+    tiled = space_to_depth(jnp.asarray(img), 2)  # [1,4,4,20]
+    out_t, vjp_t = jax.vjp(_group_max4, tiled)
+    g = jnp.asarray(rng.normal(size=out_t.shape), jnp.float32)
+    (gt,) = vjp_t(g)
+
+    # oracle: first-max-wins over the 4 window positions, scanned in the
+    # same (dy, dx) = channel-group order space_to_depth produces
+    grads = np.zeros((1, 4, 4, 5, 4), np.float32)
+    win = np.asarray(tiled).reshape(1, 4, 4, 4, 5).transpose(0, 1, 2, 4, 3)
+    for b in range(1):
+        for i in range(4):
+            for j in range(4):
+                for c in range(5):
+                    k = int(np.argmax(win[b, i, j, c]))  # first max wins
+                    grads[b, i, j, c, k] = g[b, i, j, c]
+    want = grads.transpose(0, 1, 2, 4, 3).reshape(1, 4, 4, 20)
+    np.testing.assert_array_equal(np.asarray(gt), want)

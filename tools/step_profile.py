@@ -33,7 +33,10 @@ def main():
     model, fmaps = create_model(cfg.MODEL)
     priors = jnp.asarray(create_priors(cfg.MODEL, fmaps))
     variables = init_model(model, cfg.MODEL)
-    tx = optax.sgd(0.001, momentum=0.9)
+    # production optimizer (configure_optimizer: flat fast path / multi_transform)
+    from ssds_tpu.solver import configure_lr_scheduler, configure_optimizer
+    tx = configure_optimizer(cfg.TRAIN, configure_lr_scheduler(cfg.TRAIN, 100))(
+        variables["params"])
     state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                        batch_stats={}, opt_state=tx.init(variables["params"]), tx=tx)
     rng = np.random.default_rng(0)
