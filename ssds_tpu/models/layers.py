@@ -193,6 +193,53 @@ def expand_s2d_kernel_k2(w: jnp.ndarray, block: int = 2) -> jnp.ndarray:
     return out
 
 
+@jax.custom_vjp
+def _conv2x2_valid(xs, w2):
+    """VALID 2x2 NHWC conv with a hand-written backward.
+
+    XLA's autodiff wgrad for the *first* stem conv (12 input channels)
+    picks the ``EmitInputBatchInLanes`` emitter, which needs the whole
+    [B,151,151,256] cotangent spatially reversed first — a 1.1 ms pure
+    data-movement ``reverse`` plus a 0.54 ms conv for an 18-GFLOP job
+    (round-3 step profile). This VJP computes the same wgrad as ONE
+    dot_general over four shifted input slices (reads the cotangent once,
+    no reverse), and the dgrad as the standard flipped-kernel VALID conv.
+    The dgrad branch is dead code when the input is the image (no image
+    gradients anywhere in training) and XLA eliminates it."""
+    return jax.lax.conv_general_dilated(
+        xs, w2, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _conv2x2_valid_fwd(xs, w2):
+    return _conv2x2_valid(xs, w2), (xs, w2)
+
+
+def _conv2x2_valid_bwd(res, dy):
+    xs, w2 = res
+    ho, wo = dy.shape[1], dy.shape[2]
+    ci = xs.shape[-1]
+    # dgrad: pad-by-1 then VALID conv with the spatially-flipped,
+    # in/out-transposed kernel (textbook transposed convolution).
+    wt = jnp.flip(w2, axis=(0, 1)).swapaxes(2, 3)
+    dxs = jax.lax.conv_general_dilated(
+        jnp.pad(dy, ((0, 0), (1, 1), (1, 1), (0, 0))), wt, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # wgrad: dw[ky,kx,i,o] = sum_{b,y,x} xs[b,y+ky,x+kx,i] * dy[b,y,x,o].
+    # Concatenating the four (ky,kx) slices lets one dot_general read the
+    # cotangent a single time (concat lowers fine on TPU; it is the
+    # transposes that relayout — BENCH_NOTES round-1 S2D study).
+    xcat = jnp.concatenate(
+        [xs[:, ky:ky + ho, kx:kx + wo, :] for ky in range(2) for kx in range(2)],
+        axis=-1)
+    dw = jax.lax.dot_general(
+        xcat, dy, (((0, 1, 2), (0, 1, 2)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return dxs, dw.reshape(2, 2, ci, dy.shape[-1]).astype(w2.dtype)
+
+
+_conv2x2_valid.defvjp(_conv2x2_valid_fwd, _conv2x2_valid_bwd)
+
+
 class S2DStemPairConv(nn.Module):
     """One of the two VGG stem convs evaluated in 2x2 space-to-depth tiling.
 
@@ -222,12 +269,17 @@ class S2DStemPairConv(nn.Module):
         if self.first:
             xs = space_to_depth(x, b)
             xs = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            # custom wgrad: kills the [B,H+1,W+1,4C] cotangent reverse that
+            # XLA's emitter choice inserts for the 12-input-channel conv
+            # (not used for the second conv, whose 4C-in xcat would be 4x
+            # the tensor and whose autodiff wgrad is already at roofline).
+            y = _conv2x2_valid(xs, w2)
         else:
             xs = x
-        y = jax.lax.conv_general_dilated(
-            xs, w2, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+            y = jax.lax.conv_general_dilated(
+                xs, w2, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if bias is not None:
             y = y + jnp.tile(bias, b * b).astype(y.dtype)
         if self.first:
@@ -266,14 +318,26 @@ def _group_max4_fwd(x):
     c = x.shape[-1] // 4
     x0, x1 = x[..., :c], x[..., c:2 * c]
     x2, x3 = x[..., 2 * c:3 * c], x[..., 3 * c:]
-    out = jnp.maximum(jnp.maximum(x0, x1), jnp.maximum(x2, x3))
-    # First-max-wins winner index, stored int8: the residual is 1/8 the size
-    # of keeping x (+ the backward becomes 4 independent equal-selects
-    # instead of a serialized eq/taken chain — measured faster at stem scale).
-    idx = jnp.where(
-        x0 == out, jnp.int8(0),
-        jnp.where(x1 == out, jnp.int8(1),
-                  jnp.where(x2 == out, jnp.int8(2), jnp.int8(3))))
+    m01 = jnp.maximum(x0, x1)
+    m23 = jnp.maximum(x2, x3)
+    out = jnp.maximum(m01, m23)
+    # First-max-wins winner index, stored int8 (1/8 of keeping x). The index
+    # is derived as a pairwise TOURNAMENT with left-biased ties — equivalent
+    # to scanning groups 0..3 for the first maximum (torch maxpool backward
+    # semantics) — rather than comparing each group against `out`: an
+    # out-dependent index chain forced XLA to evaluate the pool forward
+    # twice (a value-only pass for the forward continuation plus a
+    # value+index pass, 3.3 ms combined at stem scale, round-3 profile);
+    # the tournament shares only the cheap compares with `out`.
+    left = m01 >= m23
+    idx = jnp.where(left,
+                    jnp.where(x0 >= x1, jnp.int8(0), jnp.int8(1)),
+                    jnp.where(x2 >= x3, jnp.int8(2), jnp.int8(3)))
+    # Materialize value+index from ONE fused pass: without the barrier XLA
+    # sibling-duplicates the tournament — a value-only fusion for the
+    # forward continuation plus a value+index fusion (2× the 230 MB read,
+    # round-3 profile).
+    out, idx = jax.lax.optimization_barrier((out, idx))
     return out, (idx,)
 
 

@@ -255,3 +255,75 @@ def test_group_max4_first_max_wins_vjp():
                     grads[b, i, j, c, k] = g[b, i, j, c]
     want = grads.transpose(0, 1, 2, 4, 3).reshape(1, 4, 4, 20)
     np.testing.assert_array_equal(np.asarray(gt), want)
+
+
+def test_conv2x2_custom_vjp_matches_autodiff():
+    """_conv2x2_valid's hand-written backward (one-dot wgrad, flipped-kernel
+    dgrad) must match jax autodiff of the plain VALID conv on both
+    cotangents — guards the stem wgrad reformulation (round-3 step profile:
+    the autodiff form paid a full-tensor reverse)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssds_tpu.models.layers import _conv2x2_valid
+
+    rng = np.random.default_rng(7)
+    xs = jnp.asarray(rng.normal(0, 1, (2, 9, 9, 12)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, 0.3, (2, 2, 12, 16)), jnp.float32)
+
+    def ref(xs, w2):
+        return jax.lax.conv_general_dilated(
+            xs, w2, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    y, vjp = jax.vjp(_conv2x2_valid, xs, w2)
+    y_ref, vjp_ref = jax.vjp(ref, xs, w2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+    dy = jnp.asarray(rng.normal(0, 1, y.shape), jnp.float32)
+    dxs, dw2 = vjp(dy)
+    dxs_ref, dw2_ref = vjp_ref(dy)
+    np.testing.assert_allclose(np.asarray(dxs), np.asarray(dxs_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw2), np.asarray(dw2_ref), atol=1e-4)
+
+
+def test_s2d_stem_grads_match_plain_stem():
+    """End-to-end: parameter gradients of the tiled stem (with the custom
+    conv wgrad and pool VJP) must match the plain stem's on the shared
+    [3,3,Cin,Cout] checkpoint tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssds_tpu.config import default_config
+    from ssds_tpu.models.builder import create_model, init_model
+
+    cfg = default_config()
+    cfg.MODEL.IMAGE_SIZE = [96, 96]
+    cfg.MODEL.FEATURE_LAYER = [[22, 34, "S"], [512, 1024, 512]]
+    cfg.MODEL.ASPECT_RATIOS = [[2], [2, 3], [2]]
+    cfg.MODEL.SIZES = [0.2, 0.5, 0.8, 0.95]
+
+    cfg.MODEL.S2D_STEM = 0
+    model_plain, _ = create_model(cfg.MODEL)
+    cfg.MODEL.S2D_STEM = 2
+    model_s2d, _ = create_model(cfg.MODEL)
+    variables = init_model(model_plain, cfg.MODEL, jax.random.PRNGKey(0))
+
+    x = jnp.asarray(np.random.default_rng(5).normal(0, 50, (2, 96, 96, 3)),
+                    jnp.float32)
+
+    def loss(params, model):
+        loc, conf = model.apply({"params": params}, x, phase="train",
+                                train=False)
+        return (loc ** 2).mean() + (conf ** 2).mean()
+
+    g1 = jax.grad(loss)(variables["params"], model_plain)
+    g2 = jax.grad(loss)(variables["params"], model_s2d)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2))
+    assert len(flat1) == len(flat2)
+    for path, leaf in flat1:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat2[path]), atol=5e-4,
+            err_msg=jax.tree_util.keystr(path))
