@@ -58,6 +58,9 @@ def default_config() -> AttrDict:
             # -1 auto (tiled stem for vgg16 at even image sizes, +6.6% train
             # step), 0 off, 2 force the exact shifted-k2 space-to-depth stem
             S2D_STEM=-1,
+            # how many VGG stages run tiled when S2D_STEM is on: -1 auto
+            # (= stem only; stage 2 measured slower on v5e), 2 stem + conv2_x
+            S2D_STAGES=-1,
             SIZES=[0.2, 0.95],
             ASPECT_RATIOS=[[2], [2, 3], [2, 3], [2, 3], [2], [2]],
             CLIP=True,

@@ -23,7 +23,7 @@ from typing import List
 
 from flax import linen as nn
 
-from ssds_tpu.models.layers import ConvBNReLU, LayerSpec, MaxPool
+from ssds_tpu.models.layers import ConvBNReLU, LayerSpec, MaxPool, relu
 
 
 class BasicBlock(nn.Module):
@@ -40,7 +40,7 @@ class BasicBlock(nn.Module):
             x = ConvBNReLU(self.features, kernel=1, stride=self.stride, padding=0, act="none")(
                 x, train
             )
-        return nn.relu(y + x)
+        return relu(y + x)
 
 
 class Bottleneck(nn.Module):
@@ -57,7 +57,7 @@ class Bottleneck(nn.Module):
         y = ConvBNReLU(out_ch, kernel=1, padding=0, act="none")(y, train)
         if self.stride != 1 or x.shape[-1] != out_ch:
             x = ConvBNReLU(out_ch, kernel=1, stride=self.stride, padding=0, act="none")(x, train)
-        return nn.relu(y + x)
+        return relu(y + x)
 
 
 class _Stem(nn.Module):

@@ -46,16 +46,26 @@ def create_model(model_cfg):
     if model_cfg.SSDS not in ssds_map:
         raise KeyError(f"unknown head MODEL.SSDS={model_cfg.SSDS!r}")
     s2d = int(model_cfg.get("S2D_STEM", 0) or 0)
+    h, w = (int(v) for v in model_cfg.IMAGE_SIZE)
     if s2d < 0:  # auto: tiled stem wherever it is exact and faster
-        h, w = (int(v) for v in model_cfg.IMAGE_SIZE)
         s2d = 2 if (str(model_cfg.NETS) == "vgg16"
                     and h % 2 == 0 and w % 2 == 0) else 0
+    stages = int(model_cfg.get("S2D_STAGES", -1) or -1)
+    if stages < 0:
+        # auto resolves to STEM-ONLY: tiling stage 2 as well (S2D_STAGES=2)
+        # was built, proven exact, and MEASURED A NET REGRESSION on v5e
+        # (574 vs 661 img/s SSD300 batch-32) — conv2_x already runs at
+        # ~79 TF/s with 128 output channels, so the 16/9 FLOP inflation of
+        # the shifted-k2 rewrite plus the re-tiling transpose exceed the
+        # codegen gain that made the 64-channel stem a win. BENCH_NOTES
+        # round 3. The knob stays for re-measurement on other targets.
+        stages = 1
     if s2d >= 2:
         if str(model_cfg.NETS) != "vgg16":
             raise ValueError("MODEL.S2D_STEM is implemented for vgg16 only")
         from ssds_tpu.models.backbones.vgg import vgg16 as _vgg16
 
-        base = _vgg16(s2d_block=s2d)
+        base = _vgg16(s2d_block=s2d, s2d_stages=stages)
     else:
         base = networks_map[model_cfg.NETS]()
     mbox = num_anchors_per_cell(model_cfg.ASPECT_RATIOS)

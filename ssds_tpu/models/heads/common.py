@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ssds_tpu.models.layers import Conv, LayerSpec, SepConvBNReLU, Sequential
+from ssds_tpu.models.layers import (
+    Conv, LayerSpec, SepConvBNReLU, Sequential, _ConvParams)
 
 
 def split_feature_layer(feature_layer) -> Tuple[List[int], List[Tuple[str, int]]]:
@@ -78,10 +79,30 @@ def sep_extra_spec(kind: str, ch: int) -> LayerSpec:
     )
 
 
+class _PredParams(nn.Module):
+    """Kernel+bias holder reproducing :class:`Conv`'s param paths
+    (``<name>/Conv_0/{kernel,bias}``) without running its conv — the
+    fused-prediction path below declares loc/conf params separately (same
+    checkpoint tree, same per-path init RNG → bit-identical init) but runs
+    ONE conv over their trace-time concatenation."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.shape, name="Conv_0")()
+
+
 class MultiboxHead(nn.Module):
     """Per-source loc/conf prediction convs + flatten/concat.
 
-    ``lite=False``: 3x3 pad-1 plain convs (reference ``multibox``).
+    ``lite=False``: 3x3 pad-1 plain convs (reference ``multibox``) — run
+    as ONE conv per source over the channel-concatenated loc|conf kernels
+    (exact: convolution is linear in output channels; the split back is a
+    lane slice). Rationale: every per-source prediction conv is sub-128
+    output channels (16–84 at SSD300), the measured XLA cliff shape
+    (tools/conv_shape_matrix.py); fused they run at 100–150 lanes, and
+    fwd/dgrad/wgrad kernel counts halve.
     ``lite=True``: depthwise 3x3 + pointwise 1x1 (SSDLite recipe).
     """
 
@@ -102,8 +123,16 @@ class MultiboxHead(nn.Module):
                 conf = Conv(a * self.num_classes, kernel=1, padding=0,
                             name=f"conf_pw{k}")(conf, train)
             else:
-                loc = Conv(a * 4, kernel=3, padding=1, name=f"loc{k}")(x, train)
-                conf = Conv(a * self.num_classes, kernel=3, padding=1, name=f"conf{k}")(x, train)
+                cin = x.shape[-1]
+                wl, bl = _PredParams((3, 3, cin, a * 4), name=f"loc{k}")()
+                wc, bc = _PredParams(
+                    (3, 3, cin, a * self.num_classes), name=f"conf{k}")()
+                w = jnp.concatenate([wl, wc], axis=-1).astype(x.dtype)
+                b = jnp.concatenate([bl, bc]).astype(x.dtype)
+                y = jax.lax.conv_general_dilated(
+                    x, w, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+                loc, conf = y[..., :a * 4], y[..., a * 4:]
             b = x.shape[0]
             locs.append(loc.reshape(b, -1, 4))
             confs.append(conf.reshape(b, -1, self.num_classes))

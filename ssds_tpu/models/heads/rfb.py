@@ -29,7 +29,7 @@ from ssds_tpu.models.heads.common import (
     finalize,
     run_layers,
 )
-from ssds_tpu.models.layers import ConvBNReLU, LayerSpec, SepConvBNReLU
+from ssds_tpu.models.layers import ConvBNReLU, LayerSpec, SepConvBNReLU, relu
 
 
 class BasicRFB(nn.Module):
@@ -71,7 +71,7 @@ class BasicRFB(nn.Module):
         # the reference always applies a learned 1x1 shortcut conv (BasicConv
         # relu=False) — never an identity — so weight import stays 1:1
         shortcut = c(self.features, 1, self.stride, 0, act="none")(x)
-        return nn.relu(out * self.scale + shortcut)
+        return relu(out * self.scale + shortcut)
 
 
 class BasicRFB_a(nn.Module):
@@ -94,7 +94,7 @@ class BasicRFB_a(nn.Module):
                 )(y)
                 y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=y.dtype)(y)
-                return nn.relu(y) if act == "relu" else y
+                return relu(y) if act == "relu" else y
             return apply
 
         b0 = c(inter, 1, 1)(x)
@@ -117,7 +117,7 @@ class BasicRFB_a(nn.Module):
         out = c(self.features, 1, 1, act="none")(out)
         # learned 1x1 shortcut, unconditional (reference parity — see BasicRFB)
         shortcut = c(self.features, 1, 1, act="none")(x)
-        return nn.relu(out * self.scale + shortcut)
+        return relu(out * self.scale + shortcut)
 
 
 class RFB(nn.Module):

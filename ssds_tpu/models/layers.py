@@ -10,6 +10,7 @@ conv6 sizing).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable, Sequence, Tuple
 
@@ -22,10 +23,88 @@ from flax import linen as nn
 LayerSpec = Callable[[], nn.Module]
 
 
+@jax.custom_vjp
+def relu(x):
+    """ReLU whose VJP keys on the OUTPUT instead of the input.
+
+    ``jnp.maximum(x, 0)``'s autodiff residual is the pre-activation, so in
+    a conv→relu chain XLA materializes BOTH tensors (the round-3 step
+    profile shows ~1.1 ms two-output ``broadcast_maximum`` fusions after
+    every large conv, ~3.5 ms/step at SSD300 batch 32). ``out > 0`` is
+    equivalent to ``x > 0`` when ``out = max(x, 0)`` (and torch's
+    ``relu'(0) == 0`` matches), so keying the backward on the output lets
+    the forward keep a single tensor that the next conv's wgrad needs
+    anyway."""
+    return jnp.maximum(x, 0)
+
+
+def _relu_fwd(x):
+    y = jnp.maximum(x, 0)
+    return y, (y,)
+
+
+def _relu_bwd(res, g):
+    (y,) = res
+    return (jnp.where(y > 0, g, 0).astype(g.dtype),)
+
+
+relu.defvjp(_relu_fwd, _relu_bwd)
+
+
+@jax.custom_vjp
+def relu6(x):
+    """relu6 with an output-keyed VJP (see :func:`relu`); grad passes only
+    where 0 < y < 6 (torch semantics at both kinks)."""
+    return jnp.minimum(jnp.maximum(x, 0), 6.0)
+
+
+def _relu6_fwd(x):
+    y = jnp.minimum(jnp.maximum(x, 0), 6.0)
+    return y, (y,)
+
+
+def _relu6_bwd(res, g):
+    (y,) = res
+    return (jnp.where((y > 0) & (y < 6), g, 0).astype(g.dtype),)
+
+
+relu6.defvjp(_relu6_fwd, _relu6_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def leaky_relu(x, slope=0.1):
+    """leaky relu with an output-keyed VJP (see :func:`relu`): the sign of
+    ``y`` determines the branch for any ``slope > 0``."""
+    return jnp.where(x > 0, x, slope * x)
+
+
+def _leaky_fwd(x, slope):
+    y = jnp.where(x > 0, x, slope * x)
+    return y, (y,)
+
+
+def _leaky_bwd(slope, res, g):
+    (y,) = res
+    return (jnp.where(y > 0, g, slope * g).astype(g.dtype),)
+
+
+leaky_relu.defvjp(_leaky_fwd, _leaky_bwd)
+
+
 class ReLU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.relu(x)
+        return relu(x)
+
+
+class Identity(nn.Module):
+    """Positional placeholder keeping layer-index parity when an adjacent
+    layer absorbs this slot's op (e.g. the stem ReLU folded into
+    :class:`S2DBlockPool` — ``pool(relu(x)) == relu(pool(x))``)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return x
 
 
 class LeakyReLU(nn.Module):
@@ -33,7 +112,7 @@ class LeakyReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.leaky_relu(x, self.negative_slope)
+        return leaky_relu(x, self.negative_slope)
 
 
 class MaxPool(nn.Module):
@@ -96,7 +175,7 @@ class Conv(nn.Module):
             dtype=x.dtype,
         )(x)
         if self.relu:
-            x = nn.relu(x)
+            x = relu(x)
         return x
 
 
@@ -259,6 +338,12 @@ class S2DStemPairConv(nn.Module):
     features: int
     first: bool = False
     block: int = 2
+    # Hand-written wgrad (see _conv2x2_valid): a win only for tiny input
+    # channel counts where XLA picks the cotangent-reversing
+    # EmitInputBatchInLanes emitter (the 12-lane image conv); for wider
+    # first-convs (stage 2's 256-lane input) the autodiff wgrad is already
+    # emitted well and the xcat concat would quadruple the read volume.
+    custom_wgrad: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -273,7 +358,13 @@ class S2DStemPairConv(nn.Module):
             # XLA's emitter choice inserts for the 12-input-channel conv
             # (not used for the second conv, whose 4C-in xcat would be 4x
             # the tensor and whose autodiff wgrad is already at roofline).
-            y = _conv2x2_valid(xs, w2)
+            if self.custom_wgrad:
+                y = _conv2x2_valid(xs, w2)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    xs, w2, (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
         else:
             xs = x
             y = jax.lax.conv_general_dilated(
@@ -350,6 +441,48 @@ def _group_max4_bwd(res, g):
 _group_max4.defvjp(_group_max4_fwd, _group_max4_bwd)
 
 
+@jax.custom_vjp
+def _group_max4_relu(x):
+    """relu folded into the group max: ``relu(pool(x)) == pool(relu(x))``
+    (relu is monotonic and order-preserving on the positives, and a
+    non-positive pool max means every group was non-positive). Folding
+    erases the standalone stem ReLU's [B,150,150,4C] materialization
+    (~2 ms/step at SSD300 batch 32 — round-3 profile: the tiled-stem relu
+    can't fuse into either neighbor across the custom_vjp boundaries)."""
+    c = x.shape[-1] // 4
+    m = jnp.maximum(jnp.maximum(x[..., :c], x[..., c:2 * c]),
+                    jnp.maximum(x[..., 2 * c:3 * c], x[..., 3 * c:]))
+    return jnp.maximum(m, 0)
+
+
+def _group_max4_relu_fwd(x):
+    c = x.shape[-1] // 4
+    x0, x1 = x[..., :c], x[..., c:2 * c]
+    x2, x3 = x[..., 2 * c:3 * c], x[..., 3 * c:]
+    m01 = jnp.maximum(x0, x1)
+    m23 = jnp.maximum(x2, x3)
+    m = jnp.maximum(m01, m23)
+    left = m01 >= m23
+    idx = jnp.where(left,
+                    jnp.where(x0 >= x1, jnp.int8(0), jnp.int8(1)),
+                    jnp.where(x2 >= x3, jnp.int8(2), jnp.int8(3)))
+    # relu'(0) == 0 (torch semantics): a non-positive max routes gradient
+    # nowhere — encode as dead index 4 so the backward stays one compare.
+    idx = jnp.where(m > 0, idx, jnp.int8(4))
+    out = jnp.maximum(m, 0)
+    out, idx = jax.lax.optimization_barrier((out, idx))
+    return out, (idx,)
+
+
+def _group_max4_relu_bwd(res, g):
+    (idx,) = res
+    grads = [jnp.where(idx == jnp.int8(i), g, 0) for i in range(4)]
+    return (jnp.concatenate(grads, axis=-1),)
+
+
+_group_max4_relu.defvjp(_group_max4_relu_fwd, _group_max4_relu_bwd)
+
+
 class S2DBlockPool(nn.Module):
     """pool1 evaluated in aligned 2x2 tiling: a 2x2/s2 max pool is exactly
     the max over the 4 sub-position channel groups, landing back in normal
@@ -357,6 +490,8 @@ class S2DBlockPool(nn.Module):
     reduce_window + select_and_scatter pair of :class:`MaxPool`)."""
 
     block: int = 2
+    # True: the preceding ReLU is folded in (its spec slot becomes Identity)
+    pre_relu: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -365,7 +500,7 @@ class S2DBlockPool(nn.Module):
         # tie-SPLITTING gradient, silently diverging from the first-max-wins
         # VJP of _group_max4 — so fail loud instead of differing quietly.
         assert self.block == 2, f"S2DBlockPool supports block=2 only, got {self.block}"
-        return _group_max4(x)
+        return _group_max4_relu(x) if self.pre_relu else _group_max4(x)
 
 
 class ConvBNReLU(nn.Module):
@@ -400,11 +535,11 @@ class ConvBNReLU(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=x.dtype
         )(x)
         if self.act == "relu":
-            x = nn.relu(x)
+            x = relu(x)
         elif self.act == "relu6":
-            x = jnp.minimum(nn.relu(x), 6.0)
+            x = relu6(x)
         elif self.act == "leaky":
-            x = nn.leaky_relu(x, 0.1)
+            x = leaky_relu(x, 0.1)
         return x
 
 

@@ -18,8 +18,21 @@ Measured (v5e, M=168 slots, N=100→128): kernel 0.79 ms, bit-identical to
 the oracle. The XLA-compiled oracle fuses into the surrounding detect
 program and runs 0.32 ms, so XLA remains the production default
 (``SSDS_TPU_PALLAS_NMS=1`` opts in); the kernel stands as the native-NMS
-obligation (SURVEY.md §2.9) and the scaffold for a future fused
-decode+top-k+NMS kernel.
+obligation (SURVEY.md §2.9).
+
+RETIREMENT DECISION (round 3): the once-planned fused Pallas
+decode+top-k+NMS kernel is formally retired on the measurements. Every
+piece it would replace already loses to (or matches) XLA's fusion of the
+same math: this NMS kernel standalone is 2.5× slower than the fused XLA
+oracle (0.79 vs 0.32 ms); the candidate top-k — the largest postprocess
+cost at ~18% of the batch-1 predict program — was attacked with
+``lax.approx_max_k`` and measured SLOWER than the exact ``lax.top_k``
+(635 vs 704 img/s, BENCH_NOTES round 2); and decode is an elementwise
+chain XLA fuses into the conv epilogue for free. A hand-fused kernel
+could at best recover a fraction of ~0.2 ms in a ~1.2 ms program whose
+run-to-run variance on this backend exceeds that; the compute-path
+leverage lives in the train-side convs (see the tiled stem /
+``MODEL.S2D_STAGES``), not here.
 """
 
 from __future__ import annotations

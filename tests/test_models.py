@@ -130,10 +130,12 @@ def test_s2d_conv_is_exact():
         assert np.allclose(np.asarray(ref), np.asarray(got), atol=1e-5), block
 
 
-def test_s2d_stem_model_same_logits_and_checkpoint_tree():
+@pytest.mark.parametrize("stages", [1, 2])
+def test_s2d_stem_model_same_logits_and_checkpoint_tree(stages):
     """MODEL.S2D_STEM=2 must keep (a) the flax param tree byte-identical to
     the plain stem (checkpoints interchange) and (b) the model outputs equal
-    — the VERDICT 'same logits pre/post transform' import-equivalence."""
+    — the VERDICT 'same logits pre/post transform' import-equivalence.
+    stages=2 additionally tiles conv2_x/pool2 (MODEL.S2D_STAGES)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -150,6 +152,7 @@ def test_s2d_stem_model_same_logits_and_checkpoint_tree():
     cfg.MODEL.S2D_STEM = 0  # default is -1 = auto (which picks the tiled stem)
     model_plain, fm1 = create_model(cfg.MODEL)
     cfg.MODEL.S2D_STEM = 2
+    cfg.MODEL.S2D_STAGES = stages
     model_s2d, fm2 = create_model(cfg.MODEL)
     assert fm1 == fm2
 
@@ -181,6 +184,14 @@ def test_s2d_auto_resolution():
 
     model, _ = create_model(cfg.MODEL)  # vgg16 at 300x300 -> tiled
     assert isinstance(model.base[0](), S2DStemPairConv)
+    # S2D_STAGES auto resolves to stem-only (stage 2 measured slower)
+    assert isinstance(model.base[5](), Conv)
+
+    cfg.MODEL.S2D_STAGES = 2  # explicit opt-in tiles conv2_1 (index 5) too
+    model, _ = create_model(cfg.MODEL)
+    m5 = model.base[5]()
+    assert isinstance(m5, S2DStemPairConv) and m5.features == 128
+    cfg.MODEL.S2D_STAGES = -1
 
     cfg.MODEL.IMAGE_SIZE = [301, 301]  # odd -> plain
     model, _ = create_model(cfg.MODEL)
@@ -287,10 +298,11 @@ def test_conv2x2_custom_vjp_matches_autodiff():
     np.testing.assert_allclose(np.asarray(dw2), np.asarray(dw2_ref), atol=1e-4)
 
 
-def test_s2d_stem_grads_match_plain_stem():
+@pytest.mark.parametrize("stages", [1, 2])
+def test_s2d_stem_grads_match_plain_stem(stages):
     """End-to-end: parameter gradients of the tiled stem (with the custom
     conv wgrad and pool VJP) must match the plain stem's on the shared
-    [3,3,Cin,Cout] checkpoint tree."""
+    [3,3,Cin,Cout] checkpoint tree (stages=2: conv2_x/pool2 tiled too)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -307,6 +319,7 @@ def test_s2d_stem_grads_match_plain_stem():
     cfg.MODEL.S2D_STEM = 0
     model_plain, _ = create_model(cfg.MODEL)
     cfg.MODEL.S2D_STEM = 2
+    cfg.MODEL.S2D_STAGES = stages
     model_s2d, _ = create_model(cfg.MODEL)
     variables = init_model(model_plain, cfg.MODEL, jax.random.PRNGKey(0))
 
@@ -327,3 +340,37 @@ def test_s2d_stem_grads_match_plain_stem():
         np.testing.assert_allclose(
             np.asarray(leaf), np.asarray(flat2[path]), atol=5e-4,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_output_keyed_activations_match_autodiff():
+    """relu/relu6/leaky_relu use output-keyed VJPs (layers.py: lets XLA keep
+    ONE tensor per conv→act chain instead of pre+post activation). Away
+    from the kinks, values and gradients must match jnp autodiff exactly;
+    AT the kinks the parity target is TORCH (zero grad at x=0 for relu and
+    at both x=0 / x=6 for relu6 — note jnp.clip's autodiff passes gradient
+    at exactly x=6, which torch does not)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssds_tpu.models.layers import leaky_relu, relu, relu6
+
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 3, 64))
+    pairs = [
+        (relu, lambda v: jnp.maximum(v, 0)),
+        (relu6, lambda v: jnp.clip(v, 0, 6)),
+        (lambda v: leaky_relu(v, 0.1), lambda v: jnp.where(v > 0, v, 0.1 * v)),
+    ]
+    for f, ref in pairs:
+        np.testing.assert_allclose(np.asarray(f(x)), np.asarray(ref(x)))
+        g1 = jax.grad(lambda v: (f(v) ** 2).sum())(x)
+        g2 = jax.grad(lambda v: (ref(v) ** 2).sum())(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
+
+    # kink points, torch convention (d/dx of f(x)·c at the kink == 0)
+    kinks = jnp.asarray([0.0, -0.0, 6.0])
+    for f, expect in [(relu, [0.0, 0.0, 1.0]), (relu6, [0.0, 0.0, 0.0])]:
+        g = jax.vmap(jax.grad(f))(kinks)
+        np.testing.assert_allclose(np.asarray(g), expect)
+    g = jax.vmap(jax.grad(lambda v: leaky_relu(v, 0.1)))(kinks)
+    np.testing.assert_allclose(np.asarray(g), [0.1, 0.1, 1.0])

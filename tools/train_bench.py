@@ -20,12 +20,18 @@ from ssds_tpu.solver import TrainState, build_train_step, configure_lr_scheduler
 
 def main():
     args = sys.argv[1:]
-    s2d = 0
-    if args and args[0].startswith("--s2d="):
-        s2d = int(args.pop(0).split("=")[1])
+    s2d, stages = 0, 1
+    while args and args[0].startswith("--"):
+        if args[0].startswith("--s2d="):
+            s2d = int(args.pop(0).split("=")[1])
+        elif args[0].startswith("--stages="):
+            stages = int(args.pop(0).split("=")[1])
+        else:
+            raise SystemExit(f"unknown flag {args[0]}")
     sizes = [int(a) for a in args] or [8, 16, 32, 64]
     cfg = default_config()
     cfg.MODEL.S2D_STEM = s2d
+    cfg.MODEL.S2D_STAGES = stages
     model, fmaps = create_model(cfg.MODEL)
     priors = jnp.asarray(create_priors(cfg.MODEL, fmaps))
     variables = init_model(model, cfg.MODEL)
