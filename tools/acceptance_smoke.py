@@ -81,10 +81,31 @@ def smoke(name: str):
 
 
 def main():
+    """Each config smokes in its OWN subprocess (bench.py's fault-isolation
+    pattern: a wedged tunneled device dies with its child, the next config
+    still gets a fresh client) with a hard per-config timeout."""
+    import subprocess
+
     names = sys.argv[1:] or ACCEPTANCE
+    failures = 0
     for name in names:
-        smoke(name)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                timeout=1200, text=True, capture_output=True)
+            out = (proc.stdout or "").strip()
+            print(out if out else
+                  f"{name}: FAILED rc={proc.returncode} "
+                  f"{(proc.stderr or '')[-300:]}", flush=True)
+            failures += 0 if proc.returncode == 0 else 1
+        except subprocess.TimeoutExpired:
+            print(f"{name}: TIMEOUT (1200s — backend wedged?)", flush=True)
+            failures += 1
+    sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        smoke(sys.argv[2])
+    else:
+        main()
