@@ -374,3 +374,37 @@ def test_output_keyed_activations_match_autodiff():
         np.testing.assert_allclose(np.asarray(g), expect)
     g = jax.vmap(jax.grad(lambda v: leaky_relu(v, 0.1)))(kinks)
     np.testing.assert_allclose(np.asarray(g), [0.1, 0.1, 1.0])
+
+
+def test_group_max4_relu_fold():
+    """relu-folded pool (`_group_max4_relu`): values equal relu(pool(x));
+    gradient routes to the FIRST maximal group when the max is positive and
+    to NOBODY when the max is <= 0 (torch relu'(0) == 0 composed with
+    first-max-wins maxpool backward)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssds_tpu.models.layers import _group_max4, _group_max4_relu
+
+    x = jnp.asarray(np.array(
+        [[0.5, 2.0, -1.0, 2.0],     # positive tie: group 1 wins
+         [-3.0, -1.0, -2.0, -1.5],  # all negative: out 0, no gradient
+         [0.0, -1.0, -4.0, -2.0],   # max exactly 0: out 0, no gradient
+         [1.0, 0.0, 4.0, 2.0]], np.float32))
+    out, vjp = jax.vjp(_group_max4_relu, x)
+    np.testing.assert_array_equal(np.asarray(out).ravel(), [2.0, 0.0, 0.0, 4.0])
+    (gx,) = vjp(jnp.ones_like(out))
+    np.testing.assert_array_equal(
+        np.asarray(gx),
+        [[0.0, 1.0, 0.0, 0.0],
+         [0.0, 0.0, 0.0, 0.0],
+         [0.0, 0.0, 0.0, 0.0],
+         [0.0, 0.0, 1.0, 0.0]])
+
+    # value identity vs relu∘pool on random data
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.normal(0, 2, (3, 6, 6, 16)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(_group_max4_relu(r)),
+        np.asarray(jnp.maximum(_group_max4(r), 0)))
