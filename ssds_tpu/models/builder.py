@@ -63,6 +63,10 @@ def create_model(model_cfg):
     if s2d >= 2:
         if str(model_cfg.NETS) != "vgg16":
             raise ValueError("MODEL.S2D_STEM is implemented for vgg16 only")
+        if stages >= 2 and (h % 4 or w % 4):
+            raise ValueError(
+                f"MODEL.S2D_STAGES=2 needs IMAGE_SIZE divisible by 4 "
+                f"(pool1's output must tile 2x2 again), got {h}x{w}")
         from ssds_tpu.models.backbones.vgg import vgg16 as _vgg16
 
         base = _vgg16(s2d_block=s2d, s2d_stages=stages)

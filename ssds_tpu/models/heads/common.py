@@ -128,10 +128,10 @@ class MultiboxHead(nn.Module):
                 wc, bc = _PredParams(
                     (3, 3, cin, a * self.num_classes), name=f"conf{k}")()
                 w = jnp.concatenate([wl, wc], axis=-1).astype(x.dtype)
-                b = jnp.concatenate([bl, bc]).astype(x.dtype)
+                bias = jnp.concatenate([bl, bc]).astype(x.dtype)
                 y = jax.lax.conv_general_dilated(
                     x, w, (1, 1), ((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
                 loc, conf = y[..., :a * 4], y[..., a * 4:]
             b = x.shape[0]
             locs.append(loc.reshape(b, -1, 4))
