@@ -408,3 +408,21 @@ def test_group_max4_relu_fold():
     np.testing.assert_array_equal(
         np.asarray(_group_max4_relu(r)),
         np.asarray(jnp.maximum(_group_max4(r), 0)))
+
+
+def test_vgg16_spec_length_invariant_across_schedules():
+    """FEATURE_LAYER indexes into the layer-spec list positionally (torch
+    nn.ModuleList parity: taps [22, 34]); every compute schedule must keep
+    the 35-entry layout — the tiled stem and stage-2 variants swap entries
+    in place (Identity holds the folded-ReLU slot), never shift them."""
+    from ssds_tpu.models.backbones.vgg import vgg16
+    from ssds_tpu.models.layers import Identity, S2DBlockPool
+
+    plain = vgg16()
+    tiled = vgg16(s2d_block=2)
+    tiled2 = vgg16(s2d_block=2, s2d_stages=2)
+    assert len(plain) == len(tiled) == len(tiled2) == 35
+    assert isinstance(tiled[3](), Identity)
+    assert isinstance(tiled[4](), S2DBlockPool)
+    assert isinstance(tiled2[8](), Identity)
+    assert isinstance(tiled2[9](), S2DBlockPool)
