@@ -126,6 +126,11 @@ def default_config() -> AttrDict:
             COMPUTE_DTYPE="bfloat16",
             DONATE=True,
             DEBUG_NANS=False,  # jax debug_nans mode (SURVEY.md §5 sanitizer note)
+            # Rematerialize the forward in the backward pass
+            # (jax.checkpoint): trades ~1/3 more FLOPs for O(1)-depth
+            # activation memory — enables batch sizes HBM could not
+            # otherwise hold. Numerics unchanged (same ops replayed).
+            REMAT=False,
         ),
         EXP_DIR="./experiments/models/ssd_vgg16_voc",
         LOG_DIR="./experiments/models/ssd_vgg16_voc/logs",

@@ -214,7 +214,7 @@ def configure_optimizer(train_cfg, schedule):
 
 
 def build_train_step(model, priors, is_yolo: bool, img_hw, dtype, pixel_means=None,
-                     device_aug_prob: float = 0.0):
+                     device_aug_prob: float = 0.0, remat: bool = False):
     """The jitted per-iteration body: forward (bf16 optional) → loss → grad →
     optimizer update, buffers donated. Shared by the Solver and the
     multi-chip dry-run entry (``__graft_entry__.dryrun_multichip``).
@@ -223,7 +223,12 @@ def build_train_step(model, priors, is_yolo: bool, img_hw, dtype, pixel_means=No
     subtraction happens on device (4x smaller host→device transfer).
     ``device_aug_prob`` > 0 runs the batched on-device augmentation
     (:mod:`ssds_tpu.ops.augment_device`) inside the step — use with a
-    resize-only host pipeline (``DATASET.DEVICE_AUG``)."""
+    resize-only host pipeline (``DATASET.DEVICE_AUG``).
+    ``remat`` (``cfg.TPU.REMAT``) wraps the forward in ``jax.checkpoint``:
+    the backward pass recomputes activations instead of keeping them in
+    HBM (~1/3 more FLOPs for O(1)-depth residual memory) — the standard
+    XLA lever for batch sizes the chip could not otherwise hold. The
+    replayed ops are identical, so numerics do not change."""
     anchors = [jnp.asarray(a, jnp.float32) for a in model.anchors] if is_yolo else None
     yolo_v2 = is_yolo and getattr(model, "version", 3) == 2
     means = None if pixel_means is None else jnp.asarray(pixel_means, jnp.float32)
@@ -242,14 +247,20 @@ def build_train_step(model, priors, is_yolo: bool, img_hw, dtype, pixel_means=No
                 step_key, images.astype(jnp.float32), boxes, valid,
                 prob=device_aug_prob)
 
-        def loss_fn(params):
+        def forward(params, imgs):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            out, mut = model.apply(
-                variables, images.astype(dtype),
+            return model.apply(
+                variables, imgs,
                 phase="train", train=True, mutable=["batch_stats"],
             )
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            out, mut = forward(params, images.astype(dtype))
             if yolo_v2:
                 # darknet region-layer recipe; seen_images drives the
                 # prior-regression warm-up (first 12800 images)
@@ -393,7 +404,8 @@ class Solver:
         return build_train_step(
             self.model, self.priors, self.is_yolo, self.img_hw, self.compute_dtype,
             pixel_means=tuple(self.cfg.DATASET.PIXEL_MEANS),
-            device_aug_prob=float(self.cfg.DATASET.PROB) if device_aug else 0.0)
+            device_aug_prob=float(self.cfg.DATASET.PROB) if device_aug else 0.0,
+            remat=bool(self.cfg.TPU.get("REMAT", False)))
 
     def make_eval_loss(self):
         """Loss on the eval set (reference eval_epoch reports loss + mAP)."""

@@ -261,3 +261,53 @@ def test_spatially_sharded_step_matches_data_only():
             _, m = step(state, db)
         losses[name] = float(m["loss"])
     assert losses["spatial"] == pytest.approx(losses["data"], rel=1e-5), losses
+
+
+def test_remat_step_matches_plain():
+    """TPU.REMAT wraps the forward in jax.checkpoint — the backward replays
+    the identical ops, so loss, grads, and updated params must match the
+    plain step (here: exactly same metrics, params allclose)."""
+    import optax
+
+    from ssds_tpu.models.builder import create_model, create_priors, init_model
+
+    cfg = default_config()
+    cfg.MODEL.SSDS = "ssd_lite"
+    cfg.MODEL.NETS = "mobilenet_v1_025"
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.NUM_CLASSES = 3
+    cfg.MODEL.FEATURE_LAYER = [[11, 13], [128, 256]]
+    cfg.MODEL.ASPECT_RATIOS = [[2], [2]]
+    cfg.MODEL.SIZES = [0.2, 0.6, 0.9]
+    model, fmaps = create_model(cfg.MODEL)
+    priors = jnp.asarray(create_priors(cfg.MODEL, fmaps))
+    variables = init_model(model, cfg.MODEL, jax.random.PRNGKey(0))
+    tx = optax.sgd(0.01, momentum=0.9)
+
+    rng = np.random.default_rng(5)
+    batch = {
+        "images": jnp.asarray(rng.normal(0, 40, (2, 64, 64, 3)), jnp.float32),
+        "boxes": jnp.tile(jnp.asarray([0.2, 0.2, 0.7, 0.7]), (2, 4, 1)),
+        "labels": jnp.ones((2, 4), jnp.int32),
+        "valid": jnp.zeros((2, 4), bool).at[:, 0].set(True),
+    }
+
+    results = {}
+    for remat in (False, True):
+        params = jax.tree_util.tree_map(jnp.copy, variables["params"])
+        bstats = jax.tree_util.tree_map(jnp.copy, variables.get("batch_stats", {}))
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, batch_stats=bstats,
+            opt_state=tx.init(params), tx=tx)
+        step = build_train_step(model, priors, False, (64, 64), jnp.float32,
+                                remat=remat)
+        b = {k: jnp.copy(v) for k, v in batch.items()}
+        state, m = step(state, b)
+        results[remat] = (state, {k: float(v) for k, v in m.items()})
+
+    assert results[True][1] == pytest.approx(results[False][1], rel=1e-6), results
+    flat_p, _ = jax.tree_util.tree_flatten(results[False][0].params)
+    flat_r, _ = jax.tree_util.tree_flatten(results[True][0].params)
+    for a, b in zip(flat_p, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)
