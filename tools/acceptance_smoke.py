@@ -81,6 +81,8 @@ def smoke(name: str):
 
 
 def main():
+    from ssds_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache()  # tools recompile through the tunnel otherwise
     """Each config smokes in its OWN subprocess (bench.py's fault-isolation
     pattern: a wedged tunneled device dies with its child, the next config
     still gets a fresh client) with a hard per-config timeout."""

@@ -86,6 +86,8 @@ def measure(variant, bs):
 
 
 def main():
+    from ssds_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache()  # tools recompile through the tunnel otherwise
     args = sys.argv[1:]
     bs = 32
     variants = []

@@ -22,6 +22,8 @@ from ssds_tpu.solver import TrainState, build_train_step
 
 
 def main():
+    from ssds_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache()  # tools recompile through the tunnel otherwise
     args = sys.argv[1:]
     s2d = -1
     if args and args[0].startswith("--s2d="):

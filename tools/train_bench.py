@@ -19,6 +19,8 @@ from ssds_tpu.solver import TrainState, build_train_step, configure_lr_scheduler
 
 
 def main():
+    from ssds_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache()  # tools recompile through the tunnel otherwise
     args = sys.argv[1:]
     s2d, stages = 0, 1
     while args and args[0].startswith("--"):
