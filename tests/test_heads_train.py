@@ -85,3 +85,14 @@ def test_yolo_eval_detect_path():
     assert np.isfinite(np.asarray(out)).all()
     # background row zeroed
     assert not np.asarray(out)[:, 0].any()
+
+
+def test_resnet_backbone_train_step():
+    """ResNet backbones (BN in every block) through the full train step —
+    resnet was only forward-tested before; this exercises the mutable
+    batch_stats path under grad like fssd/rfb above."""
+    cfg = tiny_cfg("ssd", "resnet_18", [[4, 8, "S"], [128, 512, 256]],
+                   [[2], [2, 3], [2]])
+    state, m = one_step(cfg)
+    assert np.isfinite(float(m["loss"]))
+    assert state.batch_stats, "resnet should carry batch_stats"
