@@ -1,0 +1,59 @@
+"""Serving export round-trip: the jax.export'd fused predict program must
+reload from disk and reproduce the in-process detector bit-for-bit, at
+batch sizes beyond the export-time example (symbolic batch dim)."""
+
+import json
+import os
+
+import numpy as np
+
+from ssds_tpu.config import default_config
+from ssds_tpu.detector import ObjectDetector
+from ssds_tpu.export import export_detector, load_exported
+
+
+def tiny_cfg():
+    cfg = default_config()
+    cfg.MODEL.SSDS = "ssd_lite"
+    cfg.MODEL.NETS = "mobilenet_v1_025"
+    cfg.MODEL.IMAGE_SIZE = [96, 96]
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.MODEL.FEATURE_LAYER = [[11, 13], [128, 256]]
+    cfg.MODEL.ASPECT_RATIOS = [[2], [2]]
+    cfg.MODEL.SIZES = [0.3, 0.6, 0.9]
+    cfg.MODEL.HALF_PRECISION = False
+    cfg.POST_PROCESS.NUM_CLASSES = 4
+    cfg.POST_PROCESS.MAX_DETECTIONS = 10
+    return cfg
+
+
+def test_export_roundtrip_symbolic_batch(tmp_path):
+    det = ObjectDetector(tiny_cfg())
+    out = export_detector(det, str(tmp_path / "served"))
+    for name in ("predict.shlo", "weights.msgpack", "export.json"):
+        assert os.path.exists(os.path.join(out, name)), name
+
+    predict, meta = load_exported(out)
+    assert meta["batch"] == "symbolic"
+    assert meta["image_size"] == [96, 96]
+
+    rng = np.random.default_rng(0)
+    for b in (1, 3):  # symbolic batch: sizes never seen at export time
+        imgs = rng.integers(0, 255, (b, 96, 96, 3), dtype=np.uint8)
+        served = np.asarray(predict(imgs))
+        direct = np.asarray(det._predict(det.variables, imgs))
+        assert served.shape == (b, 4, 10, 5)
+        np.testing.assert_array_equal(served, direct)
+
+
+def test_export_fixed_batch(tmp_path):
+    det = ObjectDetector(tiny_cfg())
+    out = export_detector(det, str(tmp_path / "served_b2"), batch=2)
+    with open(os.path.join(out, "export.json")) as f:
+        assert json.load(f)["batch"] == 2
+    predict, _ = load_exported(out)
+    imgs = np.random.default_rng(1).integers(0, 255, (2, 96, 96, 3),
+                                             dtype=np.uint8)
+    served = np.asarray(predict(imgs))
+    direct = np.asarray(det._predict(det.variables, imgs))
+    np.testing.assert_array_equal(served, direct)
