@@ -126,7 +126,10 @@ def _stage_train():
     import jax.numpy as jnp
     import optax
 
+    from ssds_tpu.compile_cache import enable_compile_cache
     from ssds_tpu.config import default_config
+
+    enable_compile_cache()  # inference stages get it via ObjectDetector
     from ssds_tpu.models.builder import create_model, create_priors, init_model
     from ssds_tpu.solver import TrainState, build_train_step
 
