@@ -57,3 +57,19 @@ def test_export_fixed_batch(tmp_path):
     served = np.asarray(predict(imgs))
     direct = np.asarray(det._predict(det.variables, imgs))
     np.testing.assert_array_equal(served, direct)
+
+
+def test_export_multi_platform(tmp_path):
+    """One artifact lowered for BOTH tpu and cpu — exporting needs no TPU
+    (jax.export lowers, it does not compile), so a CPU build host can emit
+    the production serving artifact."""
+    det = ObjectDetector(tiny_cfg())
+    out = export_detector(det, str(tmp_path / "served_mp"),
+                          platforms=("tpu", "cpu"))
+    predict, meta = load_exported(out)
+    assert set(meta["platforms"]) == {"tpu", "cpu"}
+    imgs = np.random.default_rng(2).integers(0, 255, (2, 96, 96, 3),
+                                             dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(predict(imgs)),
+        np.asarray(det._predict(det.variables, imgs)))
