@@ -137,6 +137,24 @@ def test_solver_full_lifecycle(tmp_path):
     results = os.path.join(exp, "results", "det_test_car.txt")
     assert os.path.exists(results)
 
+    # deploy chain: trained checkpoint -> ObjectDetector -> serving export
+    # -> reload -> identical outputs (the reference's deploy story ends at
+    # "load the .pth elsewhere"; ours round-trips the servable artifact)
+    import numpy as np
+
+    from ssds_tpu.detector import ObjectDetector
+    from ssds_tpu.export import export_detector, load_exported
+
+    cfg.RESUME_CHECKPOINT = os.path.join(exp, "smoke_epoch_2.ckpt")
+    det = ObjectDetector(cfg)
+    served_dir = export_detector(det, str(tmp_path / "served"))
+    predict, meta = load_exported(served_dir)
+    imgs = np.random.default_rng(0).integers(0, 255, (2, 96, 96, 3),
+                                             dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(predict(imgs)),
+        np.asarray(det._predict(det.variables, imgs)))
+
 
 def test_solver_overfit_reaches_high_ap(tmp_path):
     """SURVEY.md §4: a tiny synthetic dataset must reach high AP after a few
