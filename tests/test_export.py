@@ -73,3 +73,27 @@ def test_export_multi_platform(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(predict(imgs)),
         np.asarray(det._predict(det.variables, imgs)))
+
+
+def test_export_yolo_head(tmp_path):
+    """YOLO predict (anchors baked in, detect_decoded — no priors arg)
+    exports and round-trips like the SSD family."""
+    cfg = default_config()
+    cfg.MODEL.SSDS = "yolo_v3"
+    cfg.MODEL.NETS = "mobilenet_v1_025"
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.NUM_CLASSES = 3
+    cfg.MODEL.FEATURE_LAYER = [[5, 11, 13], [64, 128, 256]]
+    cfg.MODEL.ASPECT_RATIOS = [[2], [2], [2]]
+    cfg.MODEL.ANCHORS = [[[8, 8]], [[24, 24]], [[48, 48]]]
+    cfg.MODEL.HALF_PRECISION = False
+    cfg.POST_PROCESS.NUM_CLASSES = 4  # classes + background for postprocess
+    cfg.POST_PROCESS.MAX_DETECTIONS = 10
+    det = ObjectDetector(cfg)
+    out = export_detector(det, str(tmp_path / "served_yolo"))
+    predict, _ = load_exported(out)
+    imgs = np.random.default_rng(3).integers(0, 255, (2, 64, 64, 3),
+                                             dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(predict(imgs)),
+        np.asarray(det._predict(det.variables, imgs)))
