@@ -229,3 +229,48 @@ def test_coco_via_factory(coco_root):
     assert b["images"].shape == (2, 96, 96, 3)
     assert b["images"].dtype == np.uint8
     assert b["valid"].any()
+
+
+def test_coco_solver_lifecycle(coco_root, tmp_path):
+    """Full Solver train->checkpoint->test_model over the COCO branch
+    (loader wiring, contiguous label mapping through loss and detect, and
+    the native COCOeval path from inside the Solver — the VOC twin lives
+    in test_solver_e2e.py)."""
+    from ssds_tpu.config import default_config
+    from ssds_tpu.solver import Solver
+
+    exp = str(tmp_path / "exp_coco")
+    cfg = default_config()
+    cfg.MODEL.SSDS = "ssd_lite"
+    cfg.MODEL.NETS = "mobilenet_v1_025"
+    cfg.MODEL.IMAGE_SIZE = [96, 96]
+    cfg.MODEL.NUM_CLASSES = 4  # 3 synthetic categories + background
+    cfg.MODEL.FEATURE_LAYER = [[11, 13], [128, 256]]
+    cfg.MODEL.ASPECT_RATIOS = [[2], [2]]
+    cfg.MODEL.SIZES = [0.3, 0.6, 0.9]
+    cfg.MODEL.HALF_PRECISION = False
+    cfg.POST_PROCESS.NUM_CLASSES = 4
+    cfg.POST_PROCESS.MAX_DETECTIONS = 10
+    cfg.TRAIN.MAX_EPOCHS = 1
+    cfg.TRAIN.CHECKPOINTS_EPOCHS = 1
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TRAIN.TRAINABLE_SCOPE = ""
+    cfg.TEST.BATCH_SIZE = 2
+    cfg.DATASET.DATASET = "coco"
+    cfg.DATASET.DATASET_DIR = coco_root
+    cfg.DATASET.TRAIN_SETS = [["2017", "val"]]
+    cfg.DATASET.TEST_SETS = [["2017", "val"]]
+    cfg.DATASET.PROB = -1.0
+    cfg.DATASET.NUM_WORKERS = 0
+    cfg.DATASET.MAX_GT = 8
+    cfg.EXP_DIR = exp
+    cfg.LOG_DIR = os.path.join(exp, "logs")
+    cfg.CHECKPOINTS_PREFIX = "coco_smoke"
+    cfg.PHASE = ["train"]
+
+    solver = Solver(cfg)
+    solver.train_model()
+    assert os.path.exists(os.path.join(exp, "coco_smoke_epoch_1.ckpt"))
+
+    ap = solver.test_model()  # native COCOeval AP@[.5:.95] via the Solver
+    assert 0.0 <= ap <= 1.0
