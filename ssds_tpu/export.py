@@ -112,3 +112,40 @@ def load_exported(in_dir: str):
         return exported.call(variables, jnp.asarray(images_u8, jnp.uint8))
 
     return predict, meta
+
+
+def load_exported_sharded(in_dir: str, mesh):
+    """Serve an exported artifact data-parallel over a device mesh.
+
+    The batch dimension shards over the FIRST mesh axis; weights replicate.
+    Per-image independence of the whole predict program (convs batch-wise,
+    NMS per image) makes the sharded result bit-identical to single-device
+    — XLA compiles one SPMD program and each chip runs its batch slice.
+    Batch size must divide the axis size. Requires a symbolic-batch export
+    (the default) unless the fixed batch already matches.
+
+    Multi-chip serving the reference never had (its deployment story was a
+    single-GPU torch process — ``lib/ssds.py:~15``): export once on any
+    host, then e.g. ``load_exported_sharded(dir, Mesh(jax.devices(), ("data",)))``
+    on a v5e pod slice serves batches across every chip with no model code.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    with open(os.path.join(in_dir, _BLOB), "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    with open(os.path.join(in_dir, _WEIGHTS), "rb") as f:
+        variables = serialization.msgpack_restore(f.read())
+    with open(os.path.join(in_dir, _META)) as f:
+        meta = json.load(f)
+
+    axis = mesh.axis_names[0]
+    replicated = NamedSharding(mesh, PartitionSpec())
+    batch_sharded = NamedSharding(mesh, PartitionSpec(axis))
+    variables = jax.device_put(variables, replicated)
+    call = jax.jit(exported.call)
+
+    def predict(images_u8):
+        x = jax.device_put(jnp.asarray(images_u8, jnp.uint8), batch_sharded)
+        return call(variables, x)
+
+    return predict, meta
