@@ -65,6 +65,11 @@ def default_config() -> AttrDict:
             ASPECT_RATIOS=[[2], [2, 3], [2, 3], [2, 3], [2], [2]],
             CLIP=True,
             HALF_PRECISION=True,  # bf16 compute on TPU
+            # '' = fp serving; 'int8' = post-training-quantize the
+            # ObjectDetector at construction (ssds_tpu/quant.py; the MXU's
+            # s8 path, ~2x bf16). Calibration uses synthetic batches — call
+            # detector.quantize_int8(real_images) for data-accurate scales.
+            QUANT="",
             ANCHORS=[],  # YOLO-only: per-scale pixel (w, h) anchors; [] = paper defaults
         ),
         TRAIN=_ad(

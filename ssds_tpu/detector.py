@@ -65,6 +65,7 @@ class ObjectDetector:
             variance=tuple(cfg.POST_PROCESS.VARIANCE),
         )
         means = jnp.asarray(cfg.DATASET.PIXEL_MEANS, jnp.float32)
+        self._means = means
         model, is_yolo, half = self.model, self.is_yolo, self.half
         priors_j = None if priors is None else jnp.asarray(priors)
 
@@ -108,6 +109,47 @@ class ObjectDetector:
         else:
             self._predict = _predict_split
         self._predict(self.variables, dummy).block_until_ready()
+        if str(model_cfg.get("QUANT", "")) == "int8":
+            self.quantize_int8()
+
+    def quantize_int8(self, calib_images=None, skip_re=None) -> int:
+        """Post-training int8 quantization of the serving path.
+
+        Symmetric PTQ (ssds_tpu/quant.py): calibrate per-conv activation
+        scales on a few forwards, re-encode conv kernels as per-channel
+        int8, and let the jitted predict retrace onto the MXU's s8 path
+        (~2x bf16 rate, half the weight HBM traffic). No reference
+        equivalent — ssds.pytorch serves fp32 (SURVEY.md §2.9).
+
+        calib_images: iterable of [B, H, W, 3] uint8 batches at the model
+        input size (real images recommended for best scales); None = four
+        seeded synthetic batches (perf-representative; accuracy scales
+        should come from real data). skip_re: regex over module paths to
+        keep matching convs in float. Returns the number of int8 kernels.
+        """
+        from ssds_tpu import quant
+
+        h, w = self.img_hw
+        if calib_images is None:
+            rng = np.random.default_rng(0)
+            calib_images = [rng.integers(0, 256, (1, h, w, 3), dtype=np.uint8)
+                            for _ in range(4)]
+        means, half, model = self._means, self.half, self.model
+
+        @jax.jit
+        def calib_apply(variables, img_u8):
+            x = img_u8.astype(jnp.float32) - means
+            if half:
+                x = x.astype(jnp.bfloat16)
+            return model.apply(variables, x, phase="eval", train=False,
+                               mutable=["quant_calib"])
+
+        amax = quant.collect_absmax(calib_apply, self.variables, calib_images)
+        self.variables = quant.quantize_variables(
+            self.variables, amax, skip_re=skip_re)
+        dummy = jnp.zeros((1, h, w, 3), jnp.uint8)
+        jax.block_until_ready(self._predict(self.variables, dummy))
+        return quant.num_quantized(self.variables)
 
     def predict(self, img: np.ndarray, threshold: float = 0.6, check_time: bool = False):
         """img: HWC BGR uint8 (any size). Returns (boxes_px [N,4], labels

@@ -127,11 +127,30 @@ class MultiboxHead(nn.Module):
                 wl, bl = _PredParams((3, 3, cin, a * 4), name=f"loc{k}")()
                 wc, bc = _PredParams(
                     (3, 3, cin, a * self.num_classes), name=f"conf{k}")()
-                w = jnp.concatenate([wl, wc], axis=-1).astype(x.dtype)
-                bias = jnp.concatenate([bl, bc]).astype(x.dtype)
-                y = jax.lax.conv_general_dilated(
-                    x, w, (1, 1), ((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+                if wl.dtype == jnp.int8:
+                    # int8 serving path (ssds_tpu/quant.py): the loc|conf
+                    # concat of int8 kernels is still one MXU conv; the
+                    # per-cout scales were concatenated in the same order
+                    # by quantize_variables.
+                    from ssds_tpu import quant as _q
+
+                    s_x = self.get_variable("quant", f"act_scale_src{k}")
+                    acc = _q.int8_conv(
+                        _q.quantize_act(x, s_x),
+                        jnp.concatenate([wl, wc], axis=-1),
+                        stride=(1, 1), padding=((1, 1), (1, 1)))
+                    y = _q.dequant(
+                        acc, s_x, self.get_variable("quant", f"w_scale_src{k}"),
+                        jnp.concatenate([bl, bc]), x.dtype)
+                else:
+                    if not self.is_initializing():
+                        self.sow("quant_calib", f"act_absmax_src{k}",
+                                 jnp.max(jnp.abs(x.astype(jnp.float32))))
+                    w = jnp.concatenate([wl, wc], axis=-1).astype(x.dtype)
+                    bias = jnp.concatenate([bl, bc]).astype(x.dtype)
+                    y = jax.lax.conv_general_dilated(
+                        x, w, (1, 1), ((1, 1), (1, 1)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
                 loc, conf = y[..., :a * 4], y[..., a * 4:]
             b = x.shape[0]
             locs.append(loc.reshape(b, -1, 4))

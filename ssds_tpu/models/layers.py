@@ -150,7 +150,15 @@ class MaxPool(nn.Module):
 
 
 class Conv(nn.Module):
-    """Plain conv (+ optional ReLU), torch-style explicit padding."""
+    """Plain conv (+ optional ReLU), torch-style explicit padding.
+
+    Serving-time int8 (ssds_tpu/quant.py): when the checkpoint kernel's
+    dtype is int8 (produced by ``quant.quantize_variables``), the forward
+    runs ``s8 x s8 -> s32`` on the MXU with a float dequant epilogue —
+    same param tree, the dtype is the switch. During calibration (apply
+    with ``mutable=['quant_calib']``) the input absmax is sow'd; otherwise
+    the sow is a no-op and XLA DCEs the stat.
+    """
 
     features: int
     kernel: int = 3
@@ -164,16 +172,34 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = self.padding
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            dtype=x.dtype,
-        )(x)
+        sub = (self.get_variable("params", "Conv_0")
+               if self.has_variable("params", "Conv_0") else None)
+        if sub is not None and sub["kernel"].dtype == jnp.int8:
+            from ssds_tpu import quant as _q
+
+            acc = _q.int8_conv(
+                _q.quantize_act(x, self.get_variable("quant", "act_scale")),
+                sub["kernel"], stride=(self.stride, self.stride),
+                padding=((p, p), (p, p)),
+                dilation=(self.dilation, self.dilation), groups=self.groups)
+            x = _q.dequant(acc, self.get_variable("quant", "act_scale"),
+                           self.get_variable("quant", "w_scale"),
+                           sub.get("bias") if self.use_bias else None, x.dtype)
+        else:
+            if not self.is_initializing():
+                self.sow("quant_calib", "act_absmax",
+                         jnp.max(jnp.abs(x.astype(jnp.float32))))
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=((p, p), (p, p)),
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=self.use_bias,
+                dtype=x.dtype,
+                name="Conv_0",
+            )(x)
         if self.relu:
             x = relu(x)
         return x
