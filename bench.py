@@ -40,7 +40,8 @@ FAULT_COOLDOWN_S = 60  # tunneled backend recovers from a fault in ~1 min
 # stages (each runs in its own subprocess; prints ONE json line on success)
 # --------------------------------------------------------------------------
 
-def _stage_inference(fused: bool, size: int = 300):
+def _stage_inference(fused: bool, size: int = 300, batch: int = 1,
+                     int8: bool = False):
     os.environ["SSDS_TPU_FUSED_PREDICT"] = "1" if fused else "0"
     import statistics
 
@@ -61,9 +62,12 @@ def _stage_inference(fused: bool, size: int = 300):
         cfg.MODEL.SSDS = "ssd"
         cfg.MODEL.NETS = "vgg16"
     det = ObjectDetector(cfg)
+    if int8:
+        n_q = det.quantize_int8()
+        print(f"# int8-quantized {n_q} conv kernels", file=sys.stderr, flush=True)
 
     rng = np.random.default_rng(0)
-    img = rng.integers(0, 255, (1, size, size, 3), dtype=np.uint8)
+    img = rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)
     x = jnp.asarray(img)
 
     # warmup (compile happened in the constructor; still warm the caches)
@@ -90,35 +94,38 @@ def _stage_inference(fused: bool, size: int = 300):
     run(20)
     # Median-of-5 with spread: the tunneled chip varies ±20% run-to-run on
     # this quantity (BENCH_NOTES), so the artifact carries its own error bar.
-    samples = sorted((run(200) - run(100)) / 100 for _ in range(5))
+    n_meas = 100 if batch == 1 else 20
+    samples = sorted((run(2 * n_meas) - run(n_meas)) / n_meas for _ in range(5))
     per_step = statistics.median(samples)
     spread_pct = 100.0 * (samples[-1] - samples[0]) / per_step
-    fps = 1.0 / per_step
+    fps = batch / per_step
 
     # Per-call p50/p90 latency, one synced call at a time (reference
     # demo.py -t time / lib/ssds.py:~100 timing mode). Includes the ~27 ms
     # host<->device tunnel RTT of this environment — an on-host client
     # would see dispatch+compute only.
-    lat = []
-    for _ in range(50):
-        t0 = time.perf_counter()
-        sync(det._predict(det.variables, x))
-        lat.append((time.perf_counter() - t0) * 1e3)
-    lat.sort()
-    p50, p90 = lat[len(lat) // 2], lat[int(len(lat) * 0.9)]
-
     mode = "fused" if fused else "split"
-    print(json.dumps({
-        "metric": f"ssd{size}_vgg16_batch1_fps",
+    if int8:
+        mode += " int8-PTQ"
+    out = {
+        "metric": f"ssd{size}_vgg16_batch{batch}_fps",
         "value": round(fps, 2),
-        "unit": f"images/sec (batch-1, pipelined, one chip, {mode} predict; "
-                "median of 5)",
+        "unit": f"images/sec (batch-{batch}, pipelined, one chip, {mode} "
+                "predict; median of 5)",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "spread_pct": round(spread_pct, 1),
-        "p50_ms": round(p50, 2),
-        "p90_ms": round(p90, 2),
-        "p50_note": "per-call synced latency incl ~27ms tunnel RTT",
-    }), flush=True)
+    }
+    if batch == 1:
+        lat = []
+        for _ in range(50):
+            t0 = time.perf_counter()
+            sync(det._predict(det.variables, x))
+            lat.append((time.perf_counter() - t0) * 1e3)
+        lat.sort()
+        out["p50_ms"] = round(lat[len(lat) // 2], 2)
+        out["p90_ms"] = round(lat[int(len(lat) * 0.9)], 2)
+        out["p50_note"] = "per-call synced latency incl ~27ms tunnel RTT"
+    print(json.dumps(out), flush=True)
 
 
 def _stage_train():
@@ -172,6 +179,8 @@ STAGES = {
     "split": lambda: _stage_inference(fused=False),
     "fused512": lambda: _stage_inference(fused=True, size=512),
     "split512": lambda: _stage_inference(fused=False, size=512),
+    "serve32": lambda: _stage_inference(fused=True, batch=32),
+    "int8_32": lambda: _stage_inference(fused=True, batch=32, int8=True),
     "train": _stage_train,
 }
 
@@ -252,6 +261,13 @@ def main():
         extra = _run_stage("train")
         if extra is not None:
             result["train"] = extra
+        # Batch-32 serving throughput, bf16 and int8-PTQ (the quantized
+        # serving path, ssds_tpu/quant.py — beyond-parity capability;
+        # no reference equivalent, SURVEY.md §2.9):
+        for name, key in (("serve32", "serve_b32"), ("int8_32", "serve_b32_int8")):
+            extra = _run_stage(name)
+            if extra is not None:
+                result[key] = extra
     print(json.dumps(result), flush=True)
 
 
