@@ -151,3 +151,63 @@ def test_batch_stats_models_quantize():
     out_f = model.apply(variables, x, phase="eval", train=False)
     out_q = model.apply(qvars, x, phase="eval", train=False)
     assert float(jnp.max(jnp.abs(out_f[1] - out_q[1]))) < 0.15
+
+
+def test_int8_preserves_detections_after_overfit():
+    """Accuracy proof on the detection metric itself: overfit a tiny model
+    to planted boxes (the offline mAP stand-in, tests/test_overfit.py),
+    PTQ-quantize with the real training images as calibration, and assert
+    the int8 model still recovers the planted box at the same IoU bar with
+    a comparable score. Quantifies the quantization accuracy cost where it
+    matters (detections), not just logit closeness."""
+    from ssds_tpu.models.builder import create_priors
+    from ssds_tpu.ops.postprocess import PostProcessConfig, detect
+    from ssds_tpu.solver import (TrainState, build_train_step,
+                                 configure_lr_scheduler, configure_optimizer)
+    from tests.test_overfit import iou, make_cfg, synth_batch
+
+    cfg = make_cfg()
+    model, fmaps = create_model(cfg.MODEL)
+    priors = jnp.asarray(create_priors(cfg.MODEL, fmaps))
+    variables = init_model(model, cfg.MODEL, jax.random.PRNGKey(1))
+
+    schedule = configure_lr_scheduler(cfg.TRAIN, steps_per_epoch=10)
+    tx = configure_optimizer(cfg.TRAIN, schedule)(variables["params"])
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]), tx=tx,
+    )
+    step_fn = build_train_step(model, priors, False, (96, 96), jnp.float32)
+    batch = synth_batch()
+    for _ in range(150):
+        state, _ = step_fn(state, batch)
+
+    trained = {"params": state.params}
+    if state.batch_stats:
+        trained["batch_stats"] = state.batch_stats
+
+    def calib_apply(v, b):
+        return model.apply(v, b, phase="eval", train=False,
+                           mutable=["quant_calib"])
+
+    # calibrate on the actual (preprocessed) training images
+    amax = quant.collect_absmax(calib_apply, trained, [batch["images"]])
+    qvars = quant.quantize_variables(trained, amax)
+    assert quant.num_quantized(qvars) > 0
+
+    post = PostProcessConfig(num_classes=3, score_threshold=0.2,
+                             iou_threshold=0.45, max_detections=10)
+    gt = np.asarray(batch["boxes"][0, 0])
+
+    out_f = model.apply(trained, batch["images"], phase="eval", train=False)
+    best_f = np.asarray(detect(out_f[0], out_f[1], priors, post))[0, 1, 0]
+    out_q = model.apply(qvars, batch["images"], phase="eval", train=False)
+    best_q = np.asarray(detect(out_q[0], out_q[1], priors, post))[0, 1, 0]
+
+    assert best_f[0] > 0.2, f"fp model failed to overfit: {best_f}"
+    assert best_q[0] > 0.2, f"int8 lost the detection: {best_q}"
+    assert iou(best_q[1:], gt) > 0.5, f"int8 box drifted: {best_q[1:]} vs {gt}"
+    # int8 box stays tight to the fp box, score within a small margin
+    assert iou(best_q[1:], best_f[1:]) > 0.8, (best_q[1:], best_f[1:])
+    assert abs(best_q[0] - best_f[0]) < 0.1, (best_q[0], best_f[0])
