@@ -181,6 +181,7 @@ STAGES = {
     "split512": lambda: _stage_inference(fused=False, size=512),
     "serve32": lambda: _stage_inference(fused=True, batch=32),
     "int8_32": lambda: _stage_inference(fused=True, batch=32, int8=True),
+    "int8_b1": lambda: _stage_inference(fused=True, batch=1, int8=True),
     "train": _stage_train,
 }
 
