@@ -108,6 +108,10 @@ def default_config() -> AttrDict:
             MAX_DETECTIONS=100,
             TOP_K=200,
             VARIANCE=[0.1, 0.2],
+            # TPU extension (no reference key): class-agnostic pre-NMS prune
+            # width for the serving/eval detect program; 0 = exact reference
+            # semantics. See ops/postprocess.PostProcessConfig.pre_nms_top_n.
+            PRE_NMS_TOP_N=1024,
         ),
         DATASET=_ad(
             DATASET="voc",

@@ -116,3 +116,125 @@ def sorted_nms(
 
     suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
     return valid & ~suppressed
+
+
+def sorted_nms_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
+                       iou_threshold: float = 0.5) -> jnp.ndarray:
+    """Batched :func:`sorted_nms` via fixpoint (Jacobi) iteration.
+
+    Same contract and EXACT same keep set as ``vmap(sorted_nms)`` — the
+    greedy recurrence ``keep_j = valid_j ∧ ¬∃i<j: sup[i,j] ∧ keep_i`` has a
+    unique fixpoint (induction on j), and Jacobi iteration from
+    ``keep⁰ = valid`` reaches it: once keeps for all i<j are stable and
+    correct, the next sweep fixes j, so sweep t is correct for every
+    suppression chain of depth ≤ t and the loop exits on the first
+    unchanged sweep (unchanged ⇒ fixpoint ⇒ the greedy solution).
+
+    Why: the sequential propagation in :func:`sorted_nms` is N dependent
+    ~[M,N] steps — 200 tiny launches on the critical path of the batch-32
+    serving program (tools/b32_profile.py: 1.8 ms of 27.6). Real detection
+    suppression chains are shallow (<10), so the fixpoint form does the
+    same work in a handful of [M,N]x[M,N,N] masked matmuls that land on
+    the MXU. The ``>0`` test is exact even if XLA computes the dot in
+    bf16: counts are sums of 0/1 terms, which can never round to 0 unless
+    exactly 0.
+
+    Args:
+      boxes:  ``[M, N, 4]`` corner-form boxes, score-descending per row.
+      scores: ``[M, N]`` scores (``<= NEG_INF/2`` marks invalid entries).
+
+    Returns:
+      ``keep [M, N]`` bool.
+    """
+    m, n = scores.shape
+    valid = scores > NEG_INF / 2
+    ious = jax.vmap(jaccard)(boxes, boxes)  # [M, N, N]
+    idx = jnp.arange(n)
+    later = idx[None, :] > idx[:, None]
+    supf = ((ious > iou_threshold) & later).astype(jnp.float32)
+
+    def cond(carry):
+        _, changed, it = carry
+        return changed & (it < n)
+
+    def body(carry):
+        keep, _, it = carry
+        hit = jax.lax.dot_general(
+            keep.astype(jnp.float32)[:, None, :], supf,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0] > 0  # [M, N]: does any kept earlier box suppress j?
+        new = valid & ~hit
+        return new, jnp.any(new != keep), it + jnp.int32(1)
+
+    keep, _, _ = jax.lax.while_loop(cond, body, (valid, jnp.bool_(True), jnp.int32(0)))
+    return keep
+
+
+def sorted_nms_tiled(boxes: jnp.ndarray, scores: jnp.ndarray,
+                     iou_threshold: float = 0.5, tile: int = 20) -> jnp.ndarray:
+    """Batched greedy NMS, tiled: EXACT same keep set as ``vmap(sorted_nms)``.
+
+    The sequential propagation in :func:`sorted_nms` is N dependent tiny
+    steps (latency-bound: ~0.8 ms at the [672, 200] batch-32 serving shape);
+    the whole-pool Jacobi :func:`sorted_nms_batched` re-reads an [M,N,N]
+    suppression matrix every sweep and needs as many sweeps as the deepest
+    chain (~2.0 ms on dense random data). This formulation walks the pool in
+    score-order TILES: for each tile, one masked reduction applies every
+    kept earlier box, then a fixpoint loop resolves chains WITHIN the tile
+    (depth <= tile, usually 2-3 sweeps over a tiny [M,tile,tile] matrix).
+    Exactness: cross-tile suppression only flows forward (scores are sorted
+    descending), so once tiles < t are final, hit0 is the exact greedy
+    predecessor-suppression for tile t, and the within-tile fixpoint solves
+    the remaining recurrence (unique solution, see sorted_nms_batched).
+    Measured 0.27 ms at [672, 200] (tools/nms_variants_bench.py).
+
+    Args:
+      boxes:  ``[M, N, 4]`` corner-form boxes, score-descending per row.
+      scores: ``[M, N]`` scores (``<= NEG_INF/2`` marks invalid entries).
+
+    Returns:
+      ``keep [M, N]`` bool.
+    """
+    m, n = scores.shape
+    pad = (-n) % tile
+    if pad:
+        boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    n_pad = n + pad
+    n_tiles = n_pad // tile
+    valid = scores > NEG_INF / 2
+    bt = boxes.reshape(m, n_tiles, tile, 4)
+    idx = jnp.arange(tile)
+    later = (idx[None, :] > idx[:, None]).astype(jnp.float32)
+
+    def outer(t, keep):
+        tb = jax.lax.dynamic_slice_in_dim(bt, t, 1, axis=1)[:, 0]  # [M,tile,4]
+        ious = jax.vmap(jaccard)(boxes, tb)  # [M, n_pad, tile]
+        prev = (jnp.arange(n_pad) < t * tile)[None, :, None]
+        hit0 = jnp.any((ious > iou_threshold) & prev & keep[:, :, None], axis=1)
+        tv = jax.lax.dynamic_slice_in_dim(valid, t * tile, tile, axis=1) & ~hit0
+
+        ii = jax.vmap(jaccard)(tb, tb)  # [M, tile, tile]
+        supf = (ii > iou_threshold).astype(jnp.float32) * later[None]
+
+        def body(carry):
+            k, _, it = carry
+            # count of kept earlier in-tile suppressors; sums of 0/1 terms
+            # never round to 0 unless exactly 0, so ">0" is dtype-safe.
+            hit = jax.lax.dot_general(
+                k.astype(jnp.float32)[:, None, :], supf,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, 0] > 0
+            nk = tv & ~hit
+            return nk, jnp.any(nk != k), it + jnp.int32(1)
+
+        def cond(carry):
+            return carry[1] & (carry[2] < tile)
+
+        tk, _, _ = jax.lax.while_loop(
+            cond, body, (tv, jnp.bool_(True), jnp.int32(0)))
+        return jax.lax.dynamic_update_slice_in_dim(keep, tk, t * tile, axis=1)
+
+    keep = jax.lax.fori_loop(0, n_tiles, outer, jnp.zeros((m, n_pad), bool))
+    return keep[:, :n]

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ssds_tpu.ops.boxes import decode
-from ssds_tpu.ops.nms import NEG_INF, sorted_nms
+from ssds_tpu.ops.nms import NEG_INF, sorted_nms_tiled
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +43,17 @@ class PostProcessConfig:
     # starving legitimate lower-ranked detections.
     top_k: int = 200
     variance: tuple = (0.1, 0.2)
+    # Class-agnostic pre-prune: before the per-class top-k, keep only the
+    # pre_nms_top_n priors with the highest max-over-foreground-classes
+    # score (0 = off, exact reference semantics). The per-class [B,C,K]
+    # lax.top_k is the single most expensive non-conv op in the batch
+    # serving program (tools/b32_profile.py: 6.8 of 27.6 ms at batch 32);
+    # pruning K=8732 -> 1024 cuts its input 8.5x at a documented, mAP-
+    # neutral approximation: a detection is dropped only if >pre_nms_top_n
+    # priors score above it in max-class score AND it would still have made
+    # its own class's top-top_k — for trained (peaked) score distributions
+    # the global top-1024 covers every above-threshold candidate.
+    pre_nms_top_n: int = 0
 
 
 import os
@@ -60,7 +71,7 @@ def _nms_mask(flat_boxes, flat_scores, iou_threshold):
         from ssds_tpu.ops.pallas.nms import nms_mask_pallas
 
         return nms_mask_pallas(flat_boxes, flat_scores, iou_threshold)
-    return jax.vmap(lambda b, s: sorted_nms(b, s, iou_threshold))(flat_boxes, flat_scores)
+    return sorted_nms_tiled(flat_boxes, flat_scores, iou_threshold)
 
 
 def _detect_batched(boxes_per_class, scores, config: PostProcessConfig):
@@ -74,13 +85,29 @@ def _detect_batched(boxes_per_class, scores, config: PostProcessConfig):
     (reference ``Detect``: nms(..., top_k) then output MAX_DETECTIONS).
     """
     b, c, k = scores.shape
-    top_k = min(max(config.top_k, config.max_detections), k)
 
     masked = jnp.where(scores > config.score_threshold, scores, NEG_INF)
     # Background slot: mask its scores up front so its top-k gather and NMS
     # propagation are all-invalid no-ops (the row is zeroed below anyway).
     bg_col = jnp.arange(c) == config.background_label
     masked = jnp.where(bg_col[None, :, None], NEG_INF, masked)
+
+    if 0 < config.pre_nms_top_n < k and boxes_per_class.shape[1] == 1 and b >= 4:
+        # Class-agnostic prune (see PostProcessConfig.pre_nms_top_n): one
+        # cheap [B,K] top-k by max-class score replaces most of the
+        # per-class [B,C,K] sort work. Gated on batch >= 4 (a static,
+        # trace-time property): at batch 1 the per-class sort is already
+        # small and the prune's own [1,K] top-k ADDS ~0.2 ms of latency
+        # (measured: 844 -> 723 img/s batch-1), while at batch 32 the prune
+        # is a 1.5x throughput win (1087 -> 1641 img/s).
+        best = jnp.max(masked, axis=1)  # [B, K]
+        _, pool_idx = jax.lax.top_k(best, config.pre_nms_top_n)  # [B, N]
+        masked = jax.vmap(lambda s, i: s[:, i])(masked, pool_idx)  # [B,C,N]
+        boxes_per_class = jax.vmap(lambda bx, i: bx[i])(
+            boxes_per_class[:, 0], pool_idx)[:, None]  # [B,1,N,4]
+        k = config.pre_nms_top_n
+
+    top_k = min(max(config.top_k, config.max_detections), k)
     cand_scores, cand_idx = jax.lax.top_k(masked, top_k)  # [B, C, top_k]
     if boxes_per_class.shape[1] == 1:
         # Classes share one box set (SSD/YOLO): gather [B,K,4] by [B,C*top_k]
@@ -103,19 +130,22 @@ def _detect_batched(boxes_per_class, scores, config: PostProcessConfig):
         config.iou_threshold,
     ).reshape(b, c, top_k)
 
-    # Compact kept rows to the front (stable: preserves score order).
-    order = jnp.argsort(~keep, axis=-1, stable=True)
-    keep_s = jnp.take_along_axis(keep, order, axis=-1)
-    scores_s = jnp.take_along_axis(cand_scores, order, axis=-1)
-    boxes_s = jnp.take_along_axis(cand_boxes, order[..., None], axis=2)
-    rows = jnp.concatenate([scores_s[..., None], boxes_s], axis=-1)  # [B,C,top_k,5]
-    rows = jnp.where(keep_s[..., None], rows, 0.0)
+    # Compact kept rows to the front and truncate to max_detections in ONE
+    # small top-k: candidates are already score-descending, so selecting the
+    # max_detections highest KEPT scores (index tie-break preserves order)
+    # yields exactly the first max_detections survivors — equivalent to the
+    # stable argsort-partition it replaces, at a fraction of the cost
+    # (tools/b32_profile.py: the argsort+3-gather tail was 4.3 ms of the
+    # 27.6 ms batch-32 program).
+    out_k = min(config.max_detections, top_k)
+    kept_scores = jnp.where(keep, cand_scores, NEG_INF)
+    final_s, final_i = jax.lax.top_k(kept_scores, out_k)  # [B, C, out_k]
+    final_b = jnp.take_along_axis(cand_boxes, final_i[..., None], axis=2)
+    rows = jnp.concatenate([final_s[..., None], final_b], axis=-1)
+    rows = jnp.where((final_s > NEG_INF / 2)[..., None], rows, 0.0)
 
     bg = jnp.arange(c) == config.background_label
     out = jnp.where(bg[None, :, None, None], 0.0, rows)
-    # kept rows are compacted to the front, so truncating the pool to the
-    # output size drops only the LOWEST-scoring survivors
-    out = out[:, :, : config.max_detections]
     if out.shape[2] < config.max_detections:
         pad = config.max_detections - out.shape[2]
         out = jnp.pad(out, ((0, 0), (0, 0), (0, pad), (0, 0)))

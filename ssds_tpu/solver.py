@@ -318,6 +318,7 @@ class Solver:
             max_detections=int(cfg.POST_PROCESS.MAX_DETECTIONS),
             top_k=int(cfg.POST_PROCESS.TOP_K),
             variance=tuple(cfg.POST_PROCESS.VARIANCE),
+            pre_nms_top_n=int(cfg.POST_PROCESS.get("PRE_NMS_TOP_N", 0)),
         )
 
         self.exp_dir = cfg.EXP_DIR

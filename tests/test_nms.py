@@ -61,3 +61,58 @@ def test_nms_zero_area_boxes_terminate():
     # Zero-area boxes have IoU 0 with each other; each is selected once only.
     assert int(count) == 5
     assert sorted(np.asarray(keep).tolist()) == [0, 1, 2, 3, 4]
+
+
+def test_sorted_nms_fixpoint_matches_sequential_oracle():
+    """sorted_nms_batched (fixpoint Jacobi) must produce the EXACT keep set
+    of the sequential suppression-propagation oracle, including deep
+    suppression chains (overlapping ladders of boxes) and invalid slots."""
+    import jax
+    from ssds_tpu.ops.nms import NEG_INF, sorted_nms, sorted_nms_batched
+
+    cases = []
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        n = 64
+        # Ladder: heavily-overlapping chains so A-sup-B, B-would-sup-C
+        # resurrection paths actually occur.
+        x = np.cumsum(rng.uniform(0.0, 0.05, n))
+        boxes = np.stack([x, np.zeros(n), x + 0.3, np.full(n, 0.3)], 1)
+        scores = np.sort(rng.uniform(0.1, 1.0, n))[::-1].copy()
+        scores[rng.uniform(size=n) < 0.2] = NEG_INF  # invalid slots
+        # keep descending order among valid (contract of sorted_nms)
+        order = np.argsort(-scores, kind="stable")
+        cases.append((boxes[order].astype(np.float32),
+                      scores[order].astype(np.float32)))
+
+    b = jnp.asarray(np.stack([c[0] for c in cases]))
+    s = jnp.asarray(np.stack([c[1] for c in cases]))
+    for thr in (0.3, 0.5, 0.7):
+        got = np.asarray(sorted_nms_batched(b, s, thr))
+        want = np.asarray(jax.vmap(lambda bb, ss: sorted_nms(bb, ss, thr))(b, s))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_sorted_nms_tiled_matches_sequential_oracle():
+    """sorted_nms_tiled (production _nms_mask path) == vmap(sorted_nms),
+    including a pool size NOT divisible by the tile (padding path)."""
+    import jax
+    from ssds_tpu.ops.nms import NEG_INF, sorted_nms, sorted_nms_tiled
+
+    for n in (64, 57):  # 57: exercises the pad-to-tile path
+        cases = []
+        for seed in range(4):
+            rng = np.random.default_rng(100 + seed)
+            x = np.cumsum(rng.uniform(0.0, 0.05, n))
+            boxes = np.stack([x, np.zeros(n), x + 0.3, np.full(n, 0.3)], 1)
+            scores = np.sort(rng.uniform(0.1, 1.0, n))[::-1].copy()
+            scores[rng.uniform(size=n) < 0.2] = NEG_INF
+            order = np.argsort(-scores, kind="stable")
+            cases.append((boxes[order].astype(np.float32),
+                          scores[order].astype(np.float32)))
+        b = jnp.asarray(np.stack([c[0] for c in cases]))
+        s = jnp.asarray(np.stack([c[1] for c in cases]))
+        for thr in (0.3, 0.6):
+            got = np.asarray(sorted_nms_tiled(b, s, thr, tile=20))
+            want = np.asarray(jax.vmap(lambda bb, ss: sorted_nms(bb, ss, thr))(b, s))
+            np.testing.assert_array_equal(got, want)
