@@ -143,7 +143,8 @@ class MultiboxHead(nn.Module):
                         acc, s_x, self.get_variable("quant", f"w_scale_src{k}"),
                         jnp.concatenate([bl, bc]), x.dtype)
                 else:
-                    if not self.is_initializing():
+                    # zero-sized source guard: see layers.Conv's sow
+                    if not self.is_initializing() and x.size > 0:
                         self.sow("quant_calib", f"act_absmax_src{k}",
                                  jnp.max(jnp.abs(x.astype(jnp.float32))))
                     w = jnp.concatenate([wl, wc], axis=-1).astype(x.dtype)

@@ -186,7 +186,11 @@ class Conv(nn.Module):
                            self.get_variable("quant", "w_scale"),
                            sub.get("bias") if self.use_bias else None, x.dtype)
         else:
-            if not self.is_initializing():
+            # x.size == 0: a zero-sized feature map (tiny test IMAGE_SIZE
+            # can shrink a deep pyramid level to nothing) — jnp.max has no
+            # identity on empty arrays, and such a level contributes no
+            # calibration signal anyway.
+            if not self.is_initializing() and x.size > 0:
                 self.sow("quant_calib", "act_absmax",
                          jnp.max(jnp.abs(x.astype(jnp.float32))))
             x = nn.Conv(

@@ -390,6 +390,12 @@ class Solver:
             self.batch_stats = restored.get("batch_stats", self.batch_stats)
 
     def save(self, epoch: int):
+        # Multi-host: exactly one writer. Params are replicated (or fully
+        # addressable) on every process, so process 0 alone persists them;
+        # N writers would N-plicate the work and append N duplicate lines
+        # to checkpoint_list.txt (VERDICT r3 weak #4).
+        if jax.process_index() != 0:
+            return
         if self._checkpointer is None:
             self._checkpointer = ckpt_lib.AsyncCheckpointer()
         self._checkpointer.save(

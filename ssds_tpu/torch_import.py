@@ -125,8 +125,20 @@ def map_torch_key_candidates(torch_key: str):
                     branch([f"extra_layers_{idx}"] + inner)
                     i = len(mods)
                     continue
+            # Plain-conv extras. Primary: a pure ModuleList of flattened
+            # conv pairs (SSD) -> block idx//2, conv idx%2; FSSD's fusion
+            # extras share the torch name. RFB mixes BasicRFB blocks and
+            # plain convs in ONE contiguous ModuleList, so a plain conv at
+            # torch index idx follows n in-list RFB blocks -> our block
+            # n + (idx-n)//2: shifted candidates for n=1..3 (structural
+            # hit disambiguates — a BasicRFB module has no `layers_*`).
+            shifted = [
+                [f"extra_layers_{n + (idx - n) // 2}", f"layers_{(idx - n) % 2}"]
+                for n in (1, 2, 3) if idx >= n
+            ]
             branch([f"extra_layers_{idx // 2}", f"layers_{idx % 2}"],
-                   [f"fusion_layers_{idx // 2}", f"layers_{idx % 2}"])
+                   [f"fusion_layers_{idx // 2}", f"layers_{idx % 2}"],
+                   *shifted)
             i += 2
             continue
         if m in ("loc", "conf") and nxt is not None and nxt.isdigit():
@@ -195,9 +207,12 @@ def map_torch_key(torch_key: str) -> Tuple[Tuple[str, ...], str]:
     return map_torch_key_candidates(torch_key)[0]
 
 
-def import_torch_checkpoint(variables: dict, pth_path: str, verbose: bool = True) -> dict:
+def import_torch_checkpoint(variables: dict, pth_path: str, verbose: bool = True,
+                            return_stats: bool = False):
     """Load a torch .pth (state_dict or {'state_dict': ...}) into
-    ``variables``; returns a new pytree. Requires the baked-in cpu torch."""
+    ``variables``; returns a new pytree (or ``(pytree, stats)`` with
+    ``return_stats``, where stats = {'loaded', 'missed', 'relaxed'}).
+    Requires the baked-in cpu torch."""
     import torch
 
     sd = torch.load(pth_path, map_location="cpu", weights_only=False)
@@ -226,37 +241,45 @@ def import_torch_checkpoint(variables: dict, pth_path: str, verbose: bool = True
             continue
         candidates = map_torch_key_candidates(tkey)
         leaf_name, arr = _convert_tensor(candidates[0][1], np.asarray(tval.numpy()))
+
+        def _place(hits, relaxed):
+            for k in hits:
+                if flat[k].shape == arr.shape:
+                    flat[k] = arr.astype(flat[k].dtype)
+                    if relaxed:
+                        relaxed_log.append((tkey, "/".join(map(str, k))))
+                    return True
+            return False
+
         # search both params and batch_stats collections; candidates in
         # order, exact prefix first (shallowest path wins), then the relaxed
-        # ordered-subsequence fallback per candidate
-        hits, relaxed = [], False
+        # ordered-subsequence fallback per candidate. A structural hit with
+        # the WRONG shape does not consume the tensor — later candidates
+        # still get their chance (RFB's mixed BasicRFB/plain-conv extras
+        # indexing needs this: the unshifted candidate can exist but belong
+        # to a different torch index).
+        placed = False
         for cand_prefix, _ in candidates:
             hits = sorted(
                 (k for k in flat
                  if k[1:len(cand_prefix) + 1] == cand_prefix and k[-1] == leaf_name),
                 key=len,
             )
-            if hits:
+            if _place(hits, relaxed=False):
+                placed = True
                 break
-        if not hits:
-            relaxed = True
+        if not placed:
             for cand_prefix, _ in candidates:
                 hits = [
                     k for k in flat
                     if k[-1] == leaf_name and _ordered_subseq(cand_prefix, k)
                 ]
-                if hits:
+                if _place(hits, relaxed=True):
+                    placed = True
                     break
-        placed = False
-        for k in hits:
-            if flat[k].shape == arr.shape:
-                flat[k] = arr.astype(flat[k].dtype)
-                loaded += 1
-                placed = True
-                if relaxed:
-                    relaxed_log.append((tkey, "/".join(map(str, k))))
-                break
-        if not placed:
+        if placed:
+            loaded += 1
+        else:
             missed.append(tkey)
     if verbose:
         print(f"torch import: {loaded} tensors loaded, {len(missed)} unmatched")
@@ -266,4 +289,7 @@ def import_torch_checkpoint(variables: dict, pth_path: str, verbose: bool = True
                 print(f"    {t} -> {f}")
         if missed[:5]:
             print("  first unmatched:", missed[:5])
-    return traverse_util.unflatten_dict(flat)
+    tree = traverse_util.unflatten_dict(flat)
+    if return_stats:
+        return tree, {"loaded": loaded, "missed": missed, "relaxed": relaxed_log}
+    return tree

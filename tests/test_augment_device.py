@@ -7,6 +7,10 @@ import pytest
 
 from ssds_tpu.ops.augment_device import augment_batch
 
+# Model-building / training tests: minutes each on the 1-vCPU CPU backend.
+# `pytest -m 'not slow'` is the fast numerics/config/data verification path.
+pytestmark = __import__("pytest").mark.slow
+
 
 def planted_batch(b=6, h=96, w=96):
     """Gray images with one bright square each, box exactly around it."""

@@ -9,6 +9,10 @@ import pytest
 
 from ssds_tpu.data.coco import COCODetection
 
+# Model-building / training tests: minutes each on the 1-vCPU CPU backend.
+# `pytest -m 'not slow'` is the fast numerics/config/data verification path.
+pytestmark = __import__("pytest").mark.slow
+
 
 @pytest.fixture
 def coco_root(tmp_path):

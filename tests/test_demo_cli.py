@@ -10,6 +10,10 @@ import numpy as np
 import pytest
 import yaml
 
+# Model-building / training tests: minutes each on the 1-vCPU CPU backend.
+# `pytest -m 'not slow'` is the fast numerics/config/data verification path.
+pytestmark = __import__("pytest").mark.slow
+
 
 def _load_demo_module():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

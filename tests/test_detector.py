@@ -6,6 +6,10 @@ import numpy as np
 from ssds_tpu.config import default_config
 from ssds_tpu.detector import ObjectDetector
 
+# Model-building / training tests: minutes each on the 1-vCPU CPU backend.
+# `pytest -m 'not slow'` is the fast numerics/config/data verification path.
+pytestmark = __import__("pytest").mark.slow
+
 
 def tiny_cfg():
     cfg = default_config()

@@ -11,6 +11,10 @@ from ssds_tpu.config import default_config
 from ssds_tpu.detector import ObjectDetector
 from ssds_tpu.export import export_detector, load_exported
 
+# Model-building / training tests: minutes each on the 1-vCPU CPU backend.
+# `pytest -m 'not slow'` is the fast numerics/config/data verification path.
+pytestmark = __import__("pytest").mark.slow
+
 
 def tiny_cfg():
     cfg = default_config()
@@ -144,14 +148,20 @@ def test_export_int8_quantized(tmp_path):
     out = export_detector(det, str(tmp_path / "served_int8"))
     predict, meta = load_exported(out)
 
-    # the artifact really ships int8 kernels, not a dequantized float copy
+    # the artifact really ships int8 kernels, not a dequantized float copy.
+    # Count only params-collection kernels (ADVICE r3: exact equality over
+    # ALL tree leaves would break on any future int8-typed metadata even
+    # though the contract — conv kernels ship as int8 — still held).
     import jax
     from flax import serialization
     with open(os.path.join(out, "weights.msgpack"), "rb") as f:
         restored = serialization.msgpack_restore(f.read())
-    restored_dtypes = [np.dtype(getattr(v, "dtype", np.float32))
-                       for v in jax.tree_util.tree_leaves(restored)]
-    assert sum(d == np.int8 for d in restored_dtypes) == n_q
+    kernel_dtypes = [
+        np.dtype(getattr(v, "dtype", np.float32))
+        for k, v in jax.tree_util.tree_leaves_with_path(restored["params"])
+        if getattr(k[-1], "key", None) == "kernel"
+    ]
+    assert sum(d == np.int8 for d in kernel_dtypes) == n_q
 
     rng = np.random.default_rng(4)
     for b in (1, 3):

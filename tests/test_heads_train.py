@@ -12,6 +12,10 @@ from ssds_tpu.models.builder import create_model, create_priors, init_model
 from ssds_tpu.ops.postprocess import PostProcessConfig, detect_decoded
 from ssds_tpu.solver import TrainState, build_train_step
 
+# Model-building / training tests: minutes each on the 1-vCPU CPU backend.
+# `pytest -m 'not slow'` is the fast numerics/config/data verification path.
+pytestmark = __import__("pytest").mark.slow
+
 
 def tiny_cfg(ssds, nets, fl, ars, image=96, num_classes=4):
     cfg = default_config()

@@ -7,6 +7,10 @@ import pytest
 from ssds_tpu.config import default_config
 from ssds_tpu.models.builder import create_model, create_priors, init_model
 
+# Model-building / training tests: minutes each on the 1-vCPU CPU backend.
+# `pytest -m 'not slow'` is the fast numerics/config/data verification path.
+pytestmark = __import__("pytest").mark.slow
+
 
 def tiny_cfg(ssds, nets, feature_layer, image=96, ars=None, num_classes=4):
     cfg = default_config()

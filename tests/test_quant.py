@@ -15,6 +15,10 @@ from ssds_tpu import quant
 from ssds_tpu.config import default_config
 from ssds_tpu.models.builder import create_model, init_model
 
+# Model-building / training tests: minutes each on the 1-vCPU CPU backend.
+# `pytest -m 'not slow'` is the fast numerics/config/data verification path.
+pytestmark = __import__("pytest").mark.slow
+
 
 def tiny_ssd_cfg():
     cfg = default_config()
@@ -160,32 +164,10 @@ def test_int8_preserves_detections_after_overfit():
     the int8 model still recovers the planted box at the same IoU bar with
     a comparable score. Quantifies the quantization accuracy cost where it
     matters (detections), not just logit closeness."""
-    from ssds_tpu.models.builder import create_priors
     from ssds_tpu.ops.postprocess import PostProcessConfig, detect
-    from ssds_tpu.solver import (TrainState, build_train_step,
-                                 configure_lr_scheduler, configure_optimizer)
-    from tests.test_overfit import iou, make_cfg, synth_batch
+    from tests.test_overfit import iou, overfit_tiny_model
 
-    cfg = make_cfg()
-    model, fmaps = create_model(cfg.MODEL)
-    priors = jnp.asarray(create_priors(cfg.MODEL, fmaps))
-    variables = init_model(model, cfg.MODEL, jax.random.PRNGKey(1))
-
-    schedule = configure_lr_scheduler(cfg.TRAIN, steps_per_epoch=10)
-    tx = configure_optimizer(cfg.TRAIN, schedule)(variables["params"])
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32), params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(variables["params"]), tx=tx,
-    )
-    step_fn = build_train_step(model, priors, False, (96, 96), jnp.float32)
-    batch = synth_batch()
-    for _ in range(150):
-        state, _ = step_fn(state, batch)
-
-    trained = {"params": state.params}
-    if state.batch_stats:
-        trained["batch_stats"] = state.batch_stats
+    model, priors, trained, batch, _ = overfit_tiny_model()
 
     def calib_apply(v, b):
         return model.apply(v, b, phase="eval", train=False,
@@ -208,6 +190,12 @@ def test_int8_preserves_detections_after_overfit():
     assert best_f[0] > 0.2, f"fp model failed to overfit: {best_f}"
     assert best_q[0] > 0.2, f"int8 lost the detection: {best_q}"
     assert iou(best_q[1:], gt) > 0.5, f"int8 box drifted: {best_q[1:]} vs {gt}"
-    # int8 box stays tight to the fp box, score within a small margin
-    assert iou(best_q[1:], best_f[1:]) > 0.8, (best_q[1:], best_f[1:])
-    assert abs(best_q[0] - best_f[0]) < 0.1, (best_q[0], best_f[0])
+    # The docstring's claim ends above (detection recovered vs GT). The
+    # fp-vs-int8 closeness below is informational: measured margins are
+    # IoU(fp, int8) ~0.97 and |Δscore| ~0.02 on this seed; the assertion
+    # bounds are deliberately loose (ADVICE r3: conv reduction order may
+    # shift across JAX versions/backends).
+    print(f"int8 vs fp: iou={iou(best_q[1:], best_f[1:]):.3f} "
+          f"dscore={abs(best_q[0] - best_f[0]):.4f}")
+    assert iou(best_q[1:], best_f[1:]) > 0.5, (best_q[1:], best_f[1:])
+    assert abs(best_q[0] - best_f[0]) < 0.25, (best_q[0], best_f[0])

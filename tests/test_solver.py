@@ -18,6 +18,10 @@ from ssds_tpu.solver import (
     trainable_mask,
 )
 
+# Model-building / training tests: minutes each on the 1-vCPU CPU backend.
+# `pytest -m 'not slow'` is the fast numerics/config/data verification path.
+pytestmark = __import__("pytest").mark.slow
+
 
 def train_cfg(**lr_kwargs):
     cfg = default_config()

@@ -16,6 +16,10 @@ import pytest
 from ssds_tpu.config import cfg_from_file
 from ssds_tpu.data.voc import VOC_CLASSES
 
+# Model-building / training tests: minutes each on the 1-vCPU CPU backend.
+# `pytest -m 'not slow'` is the fast numerics/config/data verification path.
+pytestmark = __import__("pytest").mark.slow
+
 
 def make_voc(root, n_images=8, year="2007", split="trainval"):
     """Synthetic VOCdevkit: images with one bright rectangle (class 'car')."""

@@ -7,6 +7,10 @@ torch = pytest.importorskip("torch")
 
 from ssds_tpu.torch_import import import_torch_checkpoint, map_torch_key
 
+# Model-building / training tests: minutes each on the 1-vCPU CPU backend.
+# `pytest -m 'not slow'` is the fast numerics/config/data verification path.
+pytestmark = __import__("pytest").mark.slow
+
 
 def test_map_torch_key():
     assert map_torch_key("base.0.weight") == (("base_layers_0",), "weight")

@@ -37,6 +37,10 @@ from ssds_tpu.config import cfg_from_file, default_config
 from ssds_tpu.models.builder import create_model, init_model
 from ssds_tpu.torch_import import import_torch_checkpoint
 
+# Model-building / training tests: minutes each on the 1-vCPU CPU backend.
+# `pytest -m 'not slow'` is the fast numerics/config/data verification path.
+pytestmark = __import__("pytest").mark.slow
+
 HERE = __file__.rsplit("/", 2)[0]
 
 

@@ -7,6 +7,10 @@ import sys
 
 from test_solver_e2e import CFG_TEMPLATE, make_voc
 
+# Model-building / training tests: minutes each on the 1-vCPU CPU backend.
+# `pytest -m 'not slow'` is the fast numerics/config/data verification path.
+pytestmark = __import__("pytest").mark.slow
+
 
 def _load_root_script(name):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

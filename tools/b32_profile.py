@@ -7,10 +7,11 @@ Times, each as its OWN jitted program at batch 32 on the real chip:
   fwd_topk   — + per-class score mask + lax.top_k over [B,C,K]
   fwd_nms    — + batched NMS keep mask
   full       — + compaction/zeroing (the production detect tail)
+  full_pruned — full with the PRE_NMS_TOP_N=1024 prune (production default)
 
 The difference between successive rows isolates each stage's marginal cost
 (stages fuse, so this is approximate but actionable). Run:
-    python tools/b32_profile.py [batch]
+    python tools/b32_profile.py [batch] [--int8]
 """
 
 import sys
@@ -29,7 +30,9 @@ from ssds_tpu.ops.boxes import decode
 from ssds_tpu.ops.nms import NEG_INF
 from ssds_tpu.ops.postprocess import PostProcessConfig, _detect_batched, _nms_mask
 
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+ARGS = [a for a in sys.argv[1:] if not a.startswith("-")]
+BATCH = int(ARGS[0]) if ARGS else 32
+INT8 = "--int8" in sys.argv
 
 
 def main():
@@ -38,6 +41,19 @@ def main():
     model, fmaps = create_model(cfg.MODEL)
     priors = jnp.asarray(create_priors(cfg.MODEL, fmaps))
     variables = init_model(model, cfg.MODEL)
+    if INT8:
+        from ssds_tpu import quant
+
+        def calib_apply(v, img):
+            return model.apply(v, img.astype(jnp.bfloat16), phase="eval",
+                               train=False, mutable=["quant_calib"])
+
+        rngq = np.random.default_rng(0)
+        calib = [jnp.asarray(rngq.normal(0, 50, (1, 300, 300, 3)), jnp.float32)]
+        amax = quant.collect_absmax(calib_apply, variables, calib)
+        variables = quant.quantize_variables(variables, amax)
+        print(f"# int8: {quant.num_quantized(variables)} kernels quantized",
+              flush=True)
     post = PostProcessConfig()
     means = jnp.asarray((104, 117, 123), jnp.float32)
 
