@@ -257,8 +257,14 @@ def _stage_train():
     }), flush=True)
 
 
-def _stage_acceptance(yml: str, short: str, serve_batch: int, train_batch: int):
-    """One acceptance config (BASELINE.json matrix): measured serve+train."""
+def _stage_acceptance(yml: str, short: str, serve_batch: int, train_batch: int,
+                      base_fps: float = -1.0):
+    """One acceptance config (BASELINE.json matrix): measured serve+train.
+
+    ``base_fps``: the source paper's published inference FPS where one
+    exists (BASELINE.md table): FSSD300 65.8 (1080Ti, FSSD paper), RFB300
+    83 (1080Ti, RFB paper — secondary recall, not in BASELINE.md),
+    YOLOv3-416 35 (Titan X, YOLOv3 paper). -1 = no published number."""
     import numpy as np
 
     from ssds_tpu.compile_cache import enable_compile_cache
@@ -295,10 +301,11 @@ def _stage_acceptance(yml: str, short: str, serve_batch: int, train_batch: int):
 
     run(10)
     per_step, spread = _robust_measure(run, 15)
-    out["value"] = round(serve_batch / per_step, 2)
+    fps = serve_batch / per_step
+    out["value"] = round(fps, 2)
     out["unit"] = (f"images/sec (batch-{serve_batch}, pipelined, one chip, "
                    "fused predict; median of 5 of 7)")
-    out["vs_baseline"] = -1
+    out["vs_baseline"] = round(fps / base_fps, 2) if base_fps > 0 else -1
     out["spread_pct"] = spread
     out["mfu"] = _mfu(_xla_flops(det._predict, det.variables, x), per_step)
     del det, x
@@ -472,11 +479,12 @@ STAGES = {
     "acc_ssdlite_mbv2": lambda: _stage_acceptance(
         "ssd_lite_mobilenetv2_train_coco.yml", "ssdlite_mbv2_coco300", 32, 32),
     "acc_fssd300": lambda: _stage_acceptance(
-        "fssd_vgg16_train_voc.yml", "fssd300_vgg16", 32, 32),
+        "fssd_vgg16_train_voc.yml", "fssd300_vgg16", 32, 32, base_fps=65.8),
     "acc_rfb300": lambda: _stage_acceptance(
-        "rfb_vgg16_train_voc.yml", "rfb300_vgg16", 32, 32),
+        "rfb_vgg16_train_voc.yml", "rfb300_vgg16", 32, 32, base_fps=83.0),
     "acc_yolov3": lambda: _stage_acceptance(
-        "yolo_v3_darknet_53_train_voc.yml", "yolov3_dn53_416", 16, 16),
+        "yolo_v3_darknet_53_train_voc.yml", "yolov3_dn53_416", 16, 16,
+        base_fps=35.0),
 }
 
 ACCEPTANCE_STAGES = ("acc_ssdlite_mbv2", "acc_fssd300", "acc_rfb300",
