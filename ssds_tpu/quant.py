@@ -1,8 +1,15 @@
 """Post-training int8 quantization (PTQ) for the serving path.
 
-TPU v5e's MXU runs ``s8 x s8 -> s32`` convolutions at roughly twice the
-bf16 rate (measured 2.25x on SSD conv shapes — ``tools/int8_bench.py``),
-and int8 kernels halve weight HBM traffic. This module implements the
+Measured reality on v5e through XLA (round 4, ``tools/serve_profile.py``
++ the epilogue matrix in BENCH_NOTES.md): ``s8 x s8 -> s32`` convolutions
+top out at ~196 T(op)/s — the same *absolute* rate as the bf16 MXU peak,
+not 2x it. int8's end-to-end win therefore comes from bf16 convs running
+*below* peak (memory-bound shapes: the same conv4 shape measures bf16 130
+vs int8 196 T/s at batch 32) and from halved activation/weight HBM
+traffic; dequant/requant epilogues fuse into the conv for free. The
+batch-32 int8 forward sits within ~10% of this measured int8 conv
+roofline. (``tools/int8_bench.py``'s early "2.25x" figure was batch-8
+bf16 under-utilization, not a 2x MXU rate.) This module implements the
 standard symmetric PTQ recipe, TPU-first:
 
 - **per-tensor activation scales** from calibration absmax (a handful of
