@@ -104,3 +104,65 @@ def test_pre_nms_pool_wider_than_output():
         jnp.asarray(boxes[None]), jnp.asarray(conf[None]), narrow))[0]
     kept_scores = out[1, out[1, :, 0] > 0, 0].tolist()
     assert kept_scores == pytest.approx([0.9], abs=1e-5)  # C starved
+
+
+def test_pre_nms_prune_exact_when_pool_covers_candidates():
+    """The class-agnostic pre-NMS prune (PostProcessConfig.pre_nms_top_n,
+    ops/postprocess.py) is gated to batch >= 4 and is exact whenever the
+    global top-N pool covers every above-threshold candidate — the
+    documented approximation contract. Randomized batch-8 case with a
+    peaked score distribution (few candidates clear the threshold, as a
+    trained model produces): pruned output must be bit-identical to the
+    exact (pre_nms_top_n=0) path."""
+    rng = np.random.default_rng(7)
+    B, K, C = 8, 256, 6
+    xy = rng.uniform(0.05, 0.8, (K, 2))
+    wh = rng.uniform(0.05, 0.15, (K, 2))
+    priors = np.asarray(center_size(jnp.asarray(
+        np.concatenate([xy, xy + wh], 1).astype(np.float32))))
+    loc = rng.normal(0, 0.1, (B, K, 4)).astype(np.float32)
+    # peaked scores: background-heavy, ~20 priors/image above threshold
+    conf = rng.uniform(0, 0.05, (B, K, C)).astype(np.float32)
+    conf[:, :, 0] = 0.9
+    for b in range(B):
+        hot = rng.choice(K, size=20, replace=False)
+        conf[b, hot, 1 + (hot % (C - 1))] = rng.uniform(0.3, 0.95, 20)
+
+    exact_cfg = PostProcessConfig(num_classes=C, score_threshold=0.1,
+                                  iou_threshold=0.5, max_detections=10,
+                                  top_k=32, pre_nms_top_n=0)
+    pruned_cfg = PostProcessConfig(num_classes=C, score_threshold=0.1,
+                                   iou_threshold=0.5, max_detections=10,
+                                   top_k=32, pre_nms_top_n=64)
+    out_exact = np.asarray(detect(jnp.asarray(loc), jnp.asarray(conf),
+                                  jnp.asarray(priors), exact_cfg))
+    out_pruned = np.asarray(detect(jnp.asarray(loc), jnp.asarray(conf),
+                                   jnp.asarray(priors), pruned_cfg))
+    assert (out_exact[..., 0] > 0).sum() > B  # the case is non-trivial
+    np.testing.assert_array_equal(out_exact, out_pruned)
+
+
+def test_pre_nms_prune_inactive_below_batch4():
+    """At batch < 4 the prune gate must leave the exact path in place even
+    when pre_nms_top_n is set (the batch-1 latency guard measured in
+    ops/postprocess.py): outputs equal the exact config's bit-for-bit on a
+    case where an ACTIVE tiny pool would visibly drop detections."""
+    rng = np.random.default_rng(3)
+    B, K, C = 2, 128, 4
+    xy = rng.uniform(0.05, 0.8, (K, 2))
+    wh = rng.uniform(0.05, 0.15, (K, 2))
+    priors = np.asarray(center_size(jnp.asarray(
+        np.concatenate([xy, xy + wh], 1).astype(np.float32))))
+    loc = rng.normal(0, 0.1, (B, K, 4)).astype(np.float32)
+    conf = rng.uniform(0.2, 0.9, (B, K, C)).astype(np.float32)  # everything hot
+    exact_cfg = PostProcessConfig(num_classes=C, score_threshold=0.1,
+                                  iou_threshold=0.5, max_detections=10,
+                                  top_k=32, pre_nms_top_n=0)
+    gated_cfg = PostProcessConfig(num_classes=C, score_threshold=0.1,
+                                  iou_threshold=0.5, max_detections=10,
+                                  top_k=32, pre_nms_top_n=8)
+    out_exact = np.asarray(detect(jnp.asarray(loc), jnp.asarray(conf),
+                                  jnp.asarray(priors), exact_cfg))
+    out_gated = np.asarray(detect(jnp.asarray(loc), jnp.asarray(conf),
+                                  jnp.asarray(priors), gated_cfg))
+    np.testing.assert_array_equal(out_exact, out_gated)
