@@ -60,26 +60,43 @@ def main():
     jax.block_until_ready(m)
     jax.profiler.stop_trace()
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    # Direct xplane parse (the tensorboard_plugin_profile converter is
+    # broken against this image's protobuf/tensorflow pairing) — same
+    # approach as tools/serve_profile.py.
+    from collections import defaultdict
 
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
     xplanes = sorted(glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))
-    data, _ = rtd.xspace_to_tool_data([xplanes[-1]], "framework_op_stats", {})
-    if isinstance(data, bytes):
-        data = data.decode()
-    rows = json.loads(data) if data.lstrip().startswith("[") else None
-    if rows is None:
-        # gviz csv fallback
-        print(data[:3000])
-        return
-    # rows: list of dicts with 'occurrences','total_time','avg_time',... keys
-    print(f"{'op':60s} {'total_ms':>9s} {'%':>5s}")
-    total = sum(r.get("total_self_time_us", r.get("total_self_time", 0.0))
-                for r in rows if isinstance(r, dict))
-    for r in sorted(rows, key=lambda r: -r.get("total_self_time_us",
-                                               r.get("total_self_time", 0.0)))[:25]:
-        t = r.get("total_self_time_us", r.get("total_self_time", 0.0))
-        name = (r.get("operation", r.get("op_name", "?")))[:60]
-        print(f"{name:60s} {t / 1e3 / 10:9.3f} {100 * t / max(total, 1):5.1f}")
+    xs.ParseFromString(open(xplanes[-1], "rb").read())
+    plane = max((pl for pl in xs.planes if pl.name != "/host:CPU"),
+                key=lambda pl: sum(len(ln.events) for ln in pl.lines))
+    ev_meta, stat_meta = plane.event_metadata, plane.stat_metadata
+    rows2 = defaultdict(lambda: [0.0, 0, 0, ""])  # ms, flops, bytes, src
+    for line in plane.lines:
+        if line.name != "XLA Ops":
+            continue
+        for ev in line.events:
+            m = ev_meta[ev.metadata_id]
+            st = {stat_meta[s.metadata_id].name:
+                  (s.str_value or s.int64_value or s.uint64_value)
+                  for s in m.stats}
+            r = rows2[m.name]
+            r[0] += ev.duration_ps / 1e9
+            r[1] = st.get("flops", 0)
+            r[2] = st.get("bytes_accessed", 0)
+            r[3] = str(st.get("source", ""))
+    total = sum(v[0] for v in rows2.values())
+    print(f"# device XLA-op self time: {total / 10:.2f} ms/step")
+    print(f"{'op':56s} {'ms':>7s} {'TF/s':>6s} {'GB/s':>6s}  src")
+    for name, (ms, fl, by, src) in sorted(
+            rows2.items(), key=lambda kv: -kv[1][0])[:28]:
+        ms_step = ms / 10
+        tfs = (fl / 1e12) / (ms_step / 1e3) if fl and ms_step else 0
+        gbs = (by / 1e9) / (ms_step / 1e3) if by and ms_step else 0
+        print(f"{name[:56]:56s} {ms_step:7.3f} {tfs:6.1f} {gbs:6.0f}  "
+              f"{src.split('/')[-1]}")
 
 
 if __name__ == "__main__":
