@@ -500,6 +500,13 @@ def _group_max4_relu_fwd(x):
     # nowhere — encode as dead index 4 so the backward stays one compare.
     idx = jnp.where(m > 0, idx, jnp.int8(4))
     out = jnp.maximum(m, 0)
+    # Known residual cost, measured and accepted (round-4 step profile):
+    # XLA sibling-splits this two-output barrier into a value fusion and
+    # an index fusion, each re-reading the 4c stem output (1.36 + 1.13 ms
+    # at SSD300 batch-32 stem scale). Packing value+index into ONE
+    # [..., 2c] bf16 buffer behind the barrier does force a single pass,
+    # but the concat write + downstream slice/convert copies cost MORE
+    # than the saved read (47.32 vs 46.53 ms/step device time) — reverted.
     out, idx = jax.lax.optimization_barrier((out, idx))
     return out, (idx,)
 
