@@ -485,10 +485,16 @@ STAGES = {
     "acc_yolov3": lambda: _stage_acceptance(
         "yolo_v3_darknet_53_train_voc.yml", "yolov3_dn53_416", 16, 16,
         base_fps=35.0),
+    # SSD512 (BASELINE.md: SSD paper, 19 FPS batch-1 Titan X). Batch 16:
+    # 24564 priors / 4x SSD300 conv FLOPs — 16 is the measured HBM-safe
+    # train batch (round-3 notes).
+    "acc_ssd512": lambda: _stage_acceptance(
+        "ssd_vgg16_train_voc_512.yml", "ssd512_vgg16", 16, 16,
+        base_fps=19.0),
 }
 
 ACCEPTANCE_STAGES = ("acc_ssdlite_mbv2", "acc_fssd300", "acc_rfb300",
-                     "acc_yolov3")
+                     "acc_yolov3", "acc_ssd512")
 
 
 # --------------------------------------------------------------------------
