@@ -503,6 +503,7 @@ ACCEPTANCE_STAGES = ("acc_ssdlite_mbv2", "acc_fssd300", "acc_rfb300",
 
 def _run_stage(name: str):
     """Run one stage in a fresh subprocess; return its parsed json or None."""
+    t0 = time.perf_counter()
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--stage", name],
@@ -525,11 +526,13 @@ def _run_stage(name: str):
             try:
                 parsed = json.loads(line)
                 if "metric" in parsed and "value" in parsed:
+                    print(f"# stage {name}: {time.perf_counter() - t0:.0f}s",
+                          file=sys.stderr, flush=True)
                     return parsed
             except json.JSONDecodeError:
                 pass
-    print(f"# stage {name}: rc={proc.returncode}, no json line",
-          file=sys.stderr, flush=True)
+    print(f"# stage {name}: rc={proc.returncode}, no json line "
+          f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr, flush=True)
     return None
 
 
@@ -560,36 +563,56 @@ def main():
         }
     elif "batch1" in result.get("metric", ""):
         # Secondary stages, attached to the primary line; a failure here
-        # never blocks the primary result.
+        # never blocks the primary result. A GLOBAL TIME BUDGET bounds the
+        # whole run (env SSDS_BENCH_BUDGET_S, default 2700 s): every stage
+        # runs as a fresh subprocess and cold compiles through the tunnel
+        # can take minutes each, so an unbounded ladder risks the CALLER's
+        # timeout killing us before the one JSON line ever prints. Once
+        # the budget is spent, remaining optional stages are skipped and
+        # named in result["skipped_over_budget"] — a partial line always
+        # beats no line.
+        t_start = time.perf_counter()
+        budget_s = float(os.environ.get("SSDS_BENCH_BUDGET_S", "2700"))
+        skipped = []
+
+        def over_budget(name):
+            if time.perf_counter() - t_start > budget_s:
+                skipped.append(name)
+                return True
+            return False
+
         # SSD512 batch-1 (BASELINE.json names both SSD300 and SSD512):
         for name in ("fused512", "split512"):
+            if over_budget(name):
+                break
             extra = _run_stage(name)
             if extra is not None:
                 result["ssd512"] = extra
                 break
             time.sleep(FAULT_COOLDOWN_S)
         # Train-step throughput + real-loader end-to-end (VERDICT r3 #2/#3):
-        extra = _run_stage("train")
-        if extra is not None:
-            result["train"] = extra
-        extra = _run_stage("train_loader")
-        if extra is not None:
-            result["train_loader"] = extra
-        # Batch-32 serving throughput, bf16 and int8-PTQ (the quantized
-        # serving path, ssds_tpu/quant.py — beyond-parity capability;
-        # no reference equivalent, SURVEY.md §2.9):
-        for name, key in (("serve32", "serve_b32"), ("int8_32", "serve_b32_int8")):
+        for name, key in (("train", "train"), ("train_loader", "train_loader"),
+                          # Batch-32 serving, bf16 + int8-PTQ (quant.py —
+                          # beyond-parity capability, SURVEY.md §2.9):
+                          ("serve32", "serve_b32"),
+                          ("int8_32", "serve_b32_int8")):
+            if over_budget(name):
+                continue
             extra = _run_stage(name)
             if extra is not None:
                 result[key] = extra
         # The remaining BASELINE.json acceptance configs, one stage each:
         acc = {}
         for name in ACCEPTANCE_STAGES:
+            if over_budget(name):
+                continue
             extra = _run_stage(name)
             if extra is not None:
                 acc[name[len("acc_"):]] = extra
         if acc:
             result["acceptance"] = acc
+        if skipped:
+            result["skipped_over_budget"] = skipped
     print(json.dumps(result), flush=True)
 
 
