@@ -7,6 +7,7 @@ for the conv forward at the given batch, so quantize/dequant overhead and
 low-efficiency convs are visible individually.
 
 Usage: python tools/serve_profile.py [batch] [--int8] [--full]
+                                     [--cfg experiments/cfgs/<x>.yml]
 """
 
 import glob
@@ -20,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssds_tpu.compile_cache import enable_compile_cache
-from ssds_tpu.config import default_config
+from ssds_tpu.config import cfg_from_file, default_config
 from ssds_tpu.models.builder import create_model, create_priors, init_model
 from ssds_tpu.ops.boxes import decode
 from ssds_tpu.ops.postprocess import PostProcessConfig, _detect_batched
@@ -29,11 +30,15 @@ ARGS = [a for a in sys.argv[1:] if not a.startswith("-")]
 BATCH = int(ARGS[0]) if ARGS else 32
 INT8 = "--int8" in sys.argv
 FULL = "--full" in sys.argv  # profile the full detect program, not just fwd
+CFG = None
+if "--cfg" in sys.argv:
+    CFG = sys.argv[sys.argv.index("--cfg") + 1]
 
 
 def main():
     enable_compile_cache()
-    cfg = default_config()
+    cfg = cfg_from_file(CFG) if CFG else default_config()
+    cfg.RESUME_CHECKPOINT = ""
     model, fmaps = create_model(cfg.MODEL)
     priors = jnp.asarray(create_priors(cfg.MODEL, fmaps))
     variables = init_model(model, cfg.MODEL)
@@ -45,7 +50,8 @@ def main():
                                train=False, mutable=["quant_calib"])
 
         rngq = np.random.default_rng(0)
-        calib = [jnp.asarray(rngq.normal(0, 50, (1, 300, 300, 3)), jnp.float32)]
+        hh, ww = (int(v) for v in cfg.MODEL.IMAGE_SIZE)
+        calib = [jnp.asarray(rngq.normal(0, 50, (1, hh, ww, 3)), jnp.float32)]
         amax = quant.collect_absmax(calib_apply, variables, calib)
         variables = quant.quantize_variables(variables, amax)
         print(f"# int8: {quant.num_quantized(variables)} kernels", flush=True)
@@ -63,7 +69,8 @@ def main():
         return _detect_batched(d[:, None], s, post).sum()
 
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.integers(0, 255, (BATCH, 300, 300, 3), dtype=np.uint8))
+    h, w = (int(v) for v in cfg.MODEL.IMAGE_SIZE)
+    img = jnp.asarray(rng.integers(0, 255, (BATCH, h, w, 3), dtype=np.uint8))
     jf = jax.jit(prog)
     jax.device_get(jf(variables, img))
     t0 = time.perf_counter()
