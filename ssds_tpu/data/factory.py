@@ -23,6 +23,7 @@ TPU-first deltas from the reference's torch DataLoader:
 from __future__ import annotations
 
 import random
+import sys
 from typing import Iterator
 
 import numpy as np
@@ -61,6 +62,22 @@ def detection_collate(samples, max_gt: int) -> dict:
     return {"images": images, "boxes": boxes, "labels": labels, "valid": valid, "sizes": sizes}
 
 
+def truncation_stats(samples, max_gt: int):
+    """(boxes dropped by the ``max_gt`` pad, max per-image GT count) for one
+    batch of samples — the loader aggregates these per epoch so label loss
+    is NEVER silent (VERDICT r4 #2; the reference's ragged
+    ``detection_collate`` keeps every box, SURVEY.md §2.6)."""
+    dropped = 0
+    max_seen = 0
+    for sample in samples:
+        t = np.asarray(sample[1], np.float32).reshape(-1, 5)
+        if t.shape[0] == 1 and not t.any():
+            continue  # "no GT" sentinel
+        max_seen = max(max_seen, t.shape[0])
+        dropped += max(0, t.shape[0] - max_gt)
+    return dropped, max_seen
+
+
 # -- process-pool plumbing (fork): the dataset is inherited by the children,
 # batches come back pickled. Threads cannot parallelize the numpy/python
 # parts of augmentation (GIL); processes can — same reason torch DataLoader
@@ -82,7 +99,8 @@ def _worker_init(dataset, max_gt, seed):
 def _worker_make_batch(task):
     bi, chunk = task
     samples = [_WORKER_DATASET[i] for i in chunk]
-    return bi, detection_collate(samples, _WORKER_MAX_GT)
+    return (bi, detection_collate(samples, _WORKER_MAX_GT),
+            truncation_stats(samples, _WORKER_MAX_GT))
 
 
 class DetectionLoader:
@@ -112,6 +130,11 @@ class DetectionLoader:
         self.seed = seed
         self.epoch = 0
         self._pool = None
+        # GT-truncation accounting (VERDICT r4 #2): boxes beyond MAX_GT are
+        # dropped by the static-shape pad; that loss must never be silent.
+        self.gt_dropped_last_epoch = 0
+        self.gt_max_seen = 0
+        self._warned_truncation = False
         # multi-host data sharding: every process sees the same permutation
         # (same seed) and takes its interleaved slice
         self.shard_id = shard_id
@@ -175,13 +198,32 @@ class DetectionLoader:
             )
         return self._pool
 
+    def _note_truncation(self, dropped: int, max_seen: int):
+        self.gt_dropped_last_epoch += dropped
+        self.gt_max_seen = max(self.gt_max_seen, max_seen)
+
+    def _finish_epoch_accounting(self):
+        """Warn ONCE, at the end of the first epoch that dropped boxes."""
+        if self.gt_dropped_last_epoch and not self._warned_truncation:
+            self._warned_truncation = True
+            print(
+                f"WARNING: DATASET.MAX_GT={self.max_gt} dropped "
+                f"{self.gt_dropped_last_epoch} ground-truth boxes this epoch "
+                f"(max per-image GT seen: {self.gt_max_seen}). Raise "
+                f"DATASET.MAX_GT to >= {self.gt_max_seen} to train on every "
+                "label (the pad is only a static-shape device layout; cost "
+                "is a few KB/image).", file=sys.stderr, flush=True)
+
     def __iter__(self) -> Iterator[dict]:
         batches = self._batch_indices()
         self.epoch += 1
+        self.gt_dropped_last_epoch = 0
         if self.num_workers == 0:
             for chunk in batches:
                 samples = [self.dataset[i] for i in chunk]
+                self._note_truncation(*truncation_stats(samples, self.max_gt))
                 yield detection_collate(samples, self.max_gt)
+            self._finish_epoch_accounting()
             return
 
         pool = self._get_pool()
@@ -192,7 +234,8 @@ class DetectionLoader:
         results = {}
         next_bi = 0
         try:
-            for bi, batch in pool.imap_unordered(_worker_make_batch, tasks):
+            for bi, batch, stats in pool.imap_unordered(_worker_make_batch, tasks):
+                self._note_truncation(*stats)
                 results[bi] = batch
                 while next_bi in results:
                     yield results.pop(next_bi)
@@ -204,6 +247,7 @@ class DetectionLoader:
         while next_bi < len(batches):
             yield results.pop(next_bi)
             next_bi += 1
+        self._finish_epoch_accounting()
 
     def __del__(self):
         try:

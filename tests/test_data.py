@@ -223,3 +223,62 @@ def test_loader_pad_wraps_small_remainder():
                              shuffle=False, drop_last=False, num_workers=1)
     batches = list(loader)
     assert [b["images"].shape[0] for b in batches] == [8, 8]
+
+
+class _CrowdedDataset(_ToyDataset):
+    """COCO-like: image 0 carries 70 objects (> the default MAX_GT=64)."""
+
+    def __getitem__(self, i):
+        img = np.full((8, 8, 3), i, np.float32)
+        n = 70 if i == 0 else 2
+        t = np.tile(np.array([[0.1, 0.1, 0.2, 0.2, 1.0]], np.float32), (n, 1))
+        return img, t, (8, 8)
+
+
+def test_collate_truncates_at_max_gt_and_stats_count_it():
+    """>max_gt objects: collate keeps the first max_gt; truncation_stats
+    reports exactly what fell off (VERDICT r4 #2 — never silent)."""
+    from ssds_tpu.data.factory import truncation_stats
+
+    ds = _CrowdedDataset(2)
+    samples = [ds[0], ds[1]]
+    b = detection_collate(samples, max_gt=64)
+    assert b["valid"][0].sum() == 64 and b["valid"][1].sum() == 2
+    dropped, max_seen = truncation_stats(samples, 64)
+    assert dropped == 6 and max_seen == 70
+    # a big-enough pad drops nothing
+    assert truncation_stats(samples, 128) == (0, 70)
+
+
+def test_loader_counts_dropped_gt_and_warns_once(capsys):
+    loader = DetectionLoader(_CrowdedDataset(4), batch_size=2, max_gt=64,
+                             shuffle=False, drop_last=False, num_workers=0)
+    list(loader)
+    assert loader.gt_dropped_last_epoch == 6
+    assert loader.gt_max_seen == 70
+    err = capsys.readouterr().err
+    assert "MAX_GT=64" in err and "70" in err
+    # second epoch: counter resets, warning NOT repeated
+    list(loader)
+    assert loader.gt_dropped_last_epoch == 6
+    assert "MAX_GT" not in capsys.readouterr().err
+
+
+def test_loader_counts_dropped_gt_worker_path():
+    """Force the fork-pool path (the cores<=2 guard disables it on small
+    hosts) so the (batch, stats) worker tuple is exercised."""
+    loader = DetectionLoader(_CrowdedDataset(4), batch_size=2, max_gt=64,
+                             shuffle=False, drop_last=False, num_workers=1)
+    loader.num_workers = 1  # bypass the small-host guard
+    batches = list(loader)
+    assert len(batches) == 2
+    assert loader.gt_dropped_last_epoch == 6
+    assert loader.gt_max_seen == 70
+
+
+def test_loader_no_warning_when_nothing_dropped(capsys):
+    loader = DetectionLoader(_ToyDataset(4), batch_size=2, max_gt=4,
+                             shuffle=False, drop_last=False, num_workers=0)
+    list(loader)
+    assert loader.gt_dropped_last_epoch == 0
+    assert "MAX_GT" not in capsys.readouterr().err
