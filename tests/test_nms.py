@@ -116,3 +116,53 @@ def test_sorted_nms_tiled_matches_sequential_oracle():
             got = np.asarray(sorted_nms_tiled(b, s, thr, tile=20))
             want = np.asarray(jax.vmap(lambda bb, ss: sorted_nms(bb, ss, thr))(b, s))
             np.testing.assert_array_equal(got, want)
+
+
+def quantized_dets(seed, n, levels=8):
+    """Random boxes with COARSELY quantized scores — many exact ties, the
+    bf16-softmax-rounding regime the tie contract exists for."""
+    boxes, scores = random_dets(seed, n)
+    scores = np.round(scores * levels) / levels
+    return boxes, scores.astype(np.float32)
+
+
+def test_tied_scores_greedy_matches_oracle():
+    """Equal-score candidates rank index-ascending (VERDICT r4 #4):
+    greedy_nms (argmax = first max) must equal the stable-sort oracle in
+    both keep SET and keep ORDER under heavy ties."""
+    for seed in range(8):
+        boxes, scores = quantized_dets(seed, 60)
+        keep, _, count = greedy_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                    iou_threshold=0.5, top_k=60)
+        got = list(np.asarray(keep)[: int(count)])
+        want = oracle.nms(boxes, scores, overlap=0.5, top_k=60)
+        assert got == want, f"seed {seed}"
+
+
+def test_tied_scores_all_equal_pins_index_order():
+    """All scores identical: selection must walk indices ascending."""
+    boxes, _ = random_dets(3, 12)
+    scores = np.full(12, 0.5, np.float32)
+    keep, _, count = greedy_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                iou_threshold=1.01, top_k=12)  # no suppression
+    assert list(np.asarray(keep)[: int(count)]) == list(range(12))
+
+
+def test_tied_scores_topk_sorted_nms_chain_matches_oracle():
+    """The production ordering chain: lax.top_k candidate sort (lower index
+    first on ties) -> sorted_nms suppression == oracle on the RAW scores.
+    This is the path postprocess.detect runs."""
+    import jax
+    from ssds_tpu.ops.nms import sorted_nms, sorted_nms_tiled
+
+    for seed in range(6):
+        boxes, scores = quantized_dets(200 + seed, 48)
+        vals, idx = jax.lax.top_k(jnp.asarray(scores), 48)
+        sb = jnp.asarray(boxes)[idx]
+        want = oracle.nms(boxes, scores, overlap=0.5, top_k=48)
+        for fn in (lambda b, s: sorted_nms(b, s, 0.5),
+                   lambda b, s: sorted_nms_tiled(b[None], s[None], 0.5,
+                                                 tile=20)[0]):
+            keep_mask = np.asarray(fn(sb, vals))
+            got = np.asarray(idx)[keep_mask].tolist()
+            assert got == want, f"seed {seed}"
