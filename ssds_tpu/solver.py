@@ -748,7 +748,13 @@ class Solver:
 
         writer = self._get_writer()
         if self.priors is not None:
-            viz_prior_box(writer, np.asarray(self.priors), self.img_hw, epoch)
+            from ssds_tpu.ops.anchors import num_anchors_per_cell
+
+            viz_prior_box(
+                writer, np.asarray(self.priors), self.img_hw, epoch,
+                feature_maps=self.feature_maps,
+                anchors_per_cell=num_anchors_per_cell(
+                    tuple(tuple(a) for a in self.cfg.MODEL.ASPECT_RATIOS)))
         loader = self.get_loader("visualize")
         viz_samples(writer, loader, epoch)
         params = self.state.params if self.state is not None else self.params

@@ -38,6 +38,29 @@ def test_viz_prior_box():
     assert "priors/center_cells" in w.images
 
 
+def test_viz_prior_box_per_level():
+    """Per-level overlays (VERDICT r4 #6): a real SSD-like two-level anchor
+    set renders one image per level, and the level slicing is exact."""
+    from ssds_tpu.ops.anchors import AnchorConfig, generate_anchors, num_anchors_per_cell
+    from ssds_tpu.utils.visualize import level_slices
+
+    fmaps = ((4, 4), (2, 2))
+    ars = ((2,), (2, 3))
+    cfg = AnchorConfig(image_size=(64, 64), feature_maps=fmaps,
+                       aspect_ratios=ars, sizes=(0.2, 0.9))
+    priors = generate_anchors(cfg)
+    apc = num_anchors_per_cell(ars)
+    sl = level_slices(fmaps, apc)
+    assert sl == [(0, 4 * 4 * 4), (64, 64 + 2 * 2 * 6)]
+    assert sl[-1][1] == priors.shape[0]
+
+    w = _FakeWriter()
+    viz_prior_box(w, priors, (64, 64), feature_maps=fmaps, anchors_per_cell=apc)
+    assert "priors/center_cells" in w.images
+    assert "priors/level0" in w.images and "priors/level1" in w.images
+    assert w.images["priors/level0"].any()
+
+
 def test_viz_samples_and_features():
     w = _FakeWriter()
 
@@ -55,3 +78,22 @@ def test_viz_samples_and_features():
     assert "features/level0" in w.images
     viz_grads(w, {("layer", "kernel"): np.random.randn(4, 4)})
     assert w.hists
+
+
+def test_viz_feature_map_channel_grid():
+    """Per-channel grids (VERDICT r4 #6): 16 channels of an 8x8 map tile
+    into a 4x4 grid with 1px separators; >max_channels maps truncate."""
+    w = _FakeWriter()
+    fm = np.random.rand(1, 8, 8, 16).astype(np.float32)
+    viz_feature_maps(w, [fm, np.random.rand(1, 4, 4, 100)], max_channels=64)
+    grid = w.images["features/level0/channels"]
+    assert grid.shape == (1, 4 * 9 - 1, 4 * 9 - 1)
+    # each tile is its channel, min-max normalized to [0, 255]
+    tile = grid[0, :8, :8]
+    ch = fm[0, :, :, 0]
+    want = (ch - ch.min()) / (ch.max() - ch.min())
+    np.testing.assert_array_equal(tile, (want * 255).astype(np.uint8))
+    # 100-channel map truncates to 64 -> 8x8 grid of 4x4 tiles
+    assert w.images["features/level1/channels"].shape == (1, 8 * 5 - 1, 8 * 5 - 1)
+    # the mean heatmaps are still there
+    assert "features/level0" in w.images and "features/level1" in w.images
