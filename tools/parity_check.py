@@ -44,6 +44,35 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
+# --------------------------------------------------------------------------
+# The pinned acceptance table (VERDICT r4 #5): the five BASELINE.json
+# acceptance configs, each with the reference's expected mAP (BASELINE.md —
+# source-paper numbers; the reference README zoo was unreadable offline) and
+# the acceptance tolerance. mAP here is FRACTIONAL (0.772 == 77.2%); the
+# BASELINE.json bar "within 0.1 mAP (points) of the reference" is 0.001.
+# `expected_map` is the published number for the architecture; the day a
+# real reference checkpoint appears, compare against THAT checkpoint's own
+# published row first, the paper number second.
+# --------------------------------------------------------------------------
+MAP_TOLERANCE = 0.001  # 0.1 mAP points, fractional scale
+
+ACCEPTANCE = [
+    # (cfg under experiments/cfgs, expected fractional mAP, eval protocol, source)
+    ("ssd_vgg16_train_voc.yml", 0.772, "VOC07 test",
+     "SSD paper arXiv:1512.02325 (BASELINE.md)"),
+    ("ssd_vgg16_train_voc_512.yml", 0.798, "VOC07 test",
+     "SSD paper arXiv:1512.02325 (BASELINE.md)"),
+    ("fssd_vgg16_train_voc.yml", 0.788, "VOC07 test",
+     "FSSD paper arXiv:1712.00960 (BASELINE.md)"),
+    ("rfb_vgg16_train_voc.yml", 0.805, "VOC07 test",
+     "RFB paper arXiv:1711.07767 (BASELINE.md)"),
+    ("ssd_lite_mobilenetv2_train_coco.yml", 0.221, "COCO val AP@[.5:.95]",
+     "MobileNetV2 paper arXiv:1801.04381 (SSDLite row; no BASELINE.md row "
+     "— reference README zoo unreadable offline)"),
+    ("yolo_v3_darknet_53_train_coco.yml", 0.553, "COCO val AP@0.5 (416)",
+     "YOLOv3 paper arXiv:1804.02767 (no BASELINE.md row)"),
+]
+
 
 def stage_import(cfg, pth):
     import numpy as np
@@ -180,8 +209,97 @@ def selftest():
     print(f"# fabricated reference-layout checkpoint: {pth} "
           f"({len(sd)} tensors)")
     model, fmaps, imported = stage_import(cfg, pth)
-    stage_map(cfg, imported)
+    mAP = stage_map(cfg, imported)
     print("selftest OK")
+    return mAP
+
+
+def when_data(run_oracle: bool = True):
+    """The day-the-data-appears dry run (VERDICT r4 #5): validate every row
+    of the pinned acceptance table TODAY — each config loads, its model
+    builds, and the exact parity command is printed with its expected mAP
+    and tolerance — then prove the measurement chain itself with a
+    round-trip oracle: train a tiny model to mAP~1.0 on a synthetic VOC,
+    export its weights as a reference-layout torch ``.pth``, re-import that
+    file through the production importer, and require the imported model's
+    mAP to (a) be >= 0.99 and (b) match the pre-export mAP within
+    MAP_TOLERANCE — the exact comparison the runbook applies to real data.
+    """
+    from ssds_tpu.config import cfg_from_file
+    from ssds_tpu.models.builder import create_model
+
+    print("== acceptance table (BASELINE.json matrix; tolerance "
+          f"+/-{MAP_TOLERANCE:.3f} fractional mAP = 0.1 points)")
+    failures = []
+    for yml, expected, protocol, source in ACCEPTANCE:
+        path = os.path.join(HERE, "experiments", "cfgs", yml)
+        try:
+            cfg = cfg_from_file(path)
+            cfg.RESUME_CHECKPOINT = ""
+            model, fmaps = create_model(cfg.MODEL)
+        except Exception as e:  # noqa: BLE001 — report every broken row
+            failures.append((yml, e))
+            print(f"   FAIL {yml}: {type(e).__name__}: {e}")
+            continue
+        print(f"   ok   {yml}: expected {protocol} mAP {expected:.3f} "
+              f"[{source}]\n        run: python tools/parity_check.py "
+              f"--cfg experiments/cfgs/{yml} --pth <weights.pth> "
+              f"--data <dataset root>")
+    if failures:
+        raise SystemExit(f"{len(failures)} acceptance rows failed to build")
+    if run_oracle:
+        map_direct, map_imported = roundtrip_oracle()
+        if map_imported < 0.99:
+            raise SystemExit(f"round-trip oracle mAP {map_imported:.4f} < "
+                             "0.99 — the parity chain itself is broken")
+        if abs(map_imported - map_direct) > MAP_TOLERANCE:
+            raise SystemExit(
+                f"imported mAP {map_imported:.4f} != direct mAP "
+                f"{map_direct:.4f} (> {MAP_TOLERANCE}) — the torch import "
+                "loses accuracy")
+        print(f"   round-trip: direct mAP {map_direct:.4f}, imported "
+              f"{map_imported:.4f} (|delta| <= {MAP_TOLERANCE})")
+    print("when-data dry run OK — parity is one command per row above")
+
+
+def roundtrip_oracle():
+    """Train tiny -> export reference-layout .pth -> import -> eval.
+
+    Returns (direct mAP, imported mAP). Runs on whatever backend jax
+    defaults to (~2 min on the TPU chip, longer on CPU).
+    """
+    import tempfile
+
+    sys.path.insert(0, os.path.join(HERE, "tests"))
+    import torch
+    from test_solver_e2e import CFG_TEMPLATE, make_voc
+    from test_torch_import_families import _export_sd, ssd_lite_key
+
+    from ssds_tpu.config import cfg_from_file
+    from ssds_tpu.solver import Solver
+
+    print("== measurement-chain proof: train -> export .pth -> import -> eval")
+    tmp = tempfile.mkdtemp(prefix="parity_whendata_")
+    root = os.path.join(tmp, "VOCdevkit")
+    make_voc(root, n_images=8)
+    cfg_path = os.path.join(tmp, "cfg.yml")
+    with open(cfg_path, "w") as f:
+        f.write(CFG_TEMPLATE.format(root=root, exp=os.path.join(tmp, "exp"),
+                                    epochs=40, ckpt_epochs=40, prob=-1))
+    cfg = cfg_from_file(cfg_path)
+    solver = Solver(cfg)
+    solver.train_model()
+    map_direct = solver.test_model()
+
+    sd = _export_sd({"params": solver.params,
+                     "batch_stats": solver.batch_stats}, ssd_lite_key)
+    pth = os.path.join(tmp, "trained_reference_layout.pth")
+    torch.save({"state_dict": sd}, pth)
+    print(f"   exported reference-layout checkpoint: {pth} ({len(sd)} tensors)")
+
+    _, _, imported = stage_import(cfg, pth)
+    map_imported = stage_map(cfg, imported)
+    return float(map_direct), float(map_imported)
 
 
 def main():
@@ -193,8 +311,17 @@ def main():
                     help="readable ssds.pytorch checkout for stage 2")
     ap.add_argument("--image", help="real image for the activation diff")
     ap.add_argument("--selftest", action="store_true")
+    ap.add_argument("--when-data", action="store_true",
+                    help="dry-run the pinned acceptance table + the synthetic "
+                         "oracle chain (no real data needed)")
+    ap.add_argument("--table-only", action="store_true",
+                    help="with --when-data: skip the synthetic-oracle run "
+                         "(fast, no device work)")
     args = ap.parse_args()
 
+    if args.when_data:
+        when_data(run_oracle=not args.table_only)
+        return
     if args.selftest:
         selftest()
         return
