@@ -245,7 +245,9 @@ def build_train_step(model, priors, is_yolo: bool, img_hw, dtype, pixel_means=No
             step_key = jax.random.fold_in(aug_key, state.step)
             images, boxes, valid = augment_batch(
                 step_key, images.astype(jnp.float32), boxes, valid,
-                prob=device_aug_prob)
+                prob=device_aug_prob,
+                means=pixel_means if pixel_means is not None
+                else (104.0, 117.0, 123.0))
 
         def forward(params, imgs):
             variables = {"params": params}

@@ -29,17 +29,14 @@ def planted_batch(b=6, h=96, w=96):
     return jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(valid)
 
 
-def test_prob_zero_is_geometric_identity():
+def test_prob_zero_is_exact_identity():
+    """prob=0 must pass everything through untouched — the host mirrors and
+    distorts only INSIDE the augmented branch (round-5 parity rewrite)."""
     images, boxes, valid = planted_batch()
     out_img, out_box, out_valid = augment_batch(
         jax.random.PRNGKey(0), images, boxes, valid, prob=0.0)
-    # flips may still occur (p=1/2 unconditional, like the reference's
-    # mirror outside the PROB gate) — compare against flip-or-identity
-    for i in range(images.shape[0]):
-        same = np.allclose(np.asarray(out_img[i]), np.asarray(images[i]), atol=1e-4)
-        flipped = np.allclose(
-            np.asarray(out_img[i]), np.asarray(images[i][:, ::-1, :]), atol=1e-4)
-        assert same or flipped
+    np.testing.assert_allclose(np.asarray(out_img), np.asarray(images), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_box), np.asarray(boxes), atol=1e-6)
     assert bool(jnp.all(out_valid == valid))
 
 
@@ -59,10 +56,14 @@ def test_boxes_track_bright_region():
             if not out_valid[i, 0]:
                 continue
             mass = out_img[i].sum(-1)
-            # photometric shifts can now raise the whole canvas (two-sided
-            # brightness); remove the background level (median: the square
-            # covers <=16% of the area) so only the planted square has mass
-            mass = np.maximum(mass - np.median(mass), 0)
+            # photometric shifts the ORIGINAL background away from the
+            # affine's mean fill (host semantics: distort precedes expand),
+            # so two background levels exist. The planted square stays the
+            # brightest region (contrast >= 0.5 keeps >= +50 over its own
+            # background; hue rotation preserves channel sums): isolate it
+            # by thresholding midway between the median and the max.
+            thr = (np.median(mass) + mass.max()) / 2
+            mass = np.where(mass > thr, mass - thr, 0.0)
             total = mass.sum()
             if total < 1e3:  # bright square zoomed out of view
                 continue
@@ -92,21 +93,67 @@ def test_boxes_stay_normalized_and_wellformed():
 def test_photometric_brightness_is_two_sided():
     """Regression (ADVICE round-1 medium): with a shared key, the bernoulli
     gate and the uniform magnitude were correlated, so brightness shifts were
-    only ever negative. Both signs must occur with roughly equal frequency."""
+    only ever negative. Both signs must occur with roughly equal frequency.
+    _photometric now works on RAW [0,255] values; a mid-gray image keeps
+    both shift signs observable through the saturation clip."""
     from ssds_tpu.ops.augment_device import _photometric
 
-    img = jnp.zeros((4, 4, 3), jnp.float32)
+    img = jnp.full((4, 4, 3), 128.0, jnp.float32)
     shifts = []
     for seed in range(200):
         out = _photometric(jax.random.PRNGKey(seed), img)
-        # on a zero image: brightness shift propagates through contrast/sat/
-        # gains as a scaled constant; its sign survives all multiplications
-        m = float(np.asarray(out).mean())
-        if abs(m) > 1e-6:
+        m = float(np.asarray(out).mean()) - 128.0
+        if abs(m) > 1e-4:
             shifts.append(m)
     pos = sum(1 for s in shifts if s > 0)
     assert len(shifts) > 60
     assert 0.3 < pos / len(shifts) < 0.7, f"{pos}/{len(shifts)} positive"
+
+
+def test_photometric_stays_in_gamut_and_hue_preserves_channel_sum():
+    """cv2-parity saturation: outputs clip to [0,255]; the gray-axis hue
+    rotation preserves per-pixel channel SUM exactly (each matrix column
+    sums to 1) before clipping."""
+    from ssds_tpu.ops.augment_device import _photometric
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 255, (8, 8, 3)), jnp.float32)
+    for seed in range(50):
+        out = np.asarray(_photometric(jax.random.PRNGKey(seed), img))
+        assert out.min() >= -1e-3 and out.max() <= 255 + 1e-3
+
+    # isolate the hue rotation: rotation matrix columns sum to 1
+    theta = 0.42
+    c, s = np.cos(theta), np.sin(theta)
+    k = (1 - c) / 3
+    sq = s / np.sqrt(3)
+    rot = np.array([[c + k, k - sq, k + sq],
+                    [k + sq, c + k, k - sq],
+                    [k - sq, k + sq, c + k]])
+    assert np.allclose(rot.sum(axis=0), 1.0)
+    assert np.allclose(rot @ rot.T, np.eye(3), atol=1e-12)  # pure rotation
+
+
+def test_crop_candidates_respect_min_iou():
+    """_sample_crop only accepts ROIs whose min-over-GT IoU clears the
+    drawn threshold; with a full-image GT box, any accepted crop must keep
+    IoU(GT, ROI) >= 0.1 (the smallest non-None mode)."""
+    from ssds_tpu.ops.augment_device import _sample_crop
+
+    boxes = jnp.asarray([[0.0, 0.0, 1.0, 1.0]])
+    valid = jnp.ones((1,), bool)
+    for seed in range(40):
+        ax, ay, bx, by = (float(v) for v in _sample_crop(
+            jax.random.PRNGKey(seed), boxes, valid))
+        if ax == 1.0 and ay == 1.0:
+            continue  # mode None or no candidate
+        # recover the ROI: a = 1/rw, b = -rx/rw
+        rw, rh = 1.0 / ax, 1.0 / ay
+        rx, ry = -bx * rw, -by * rh
+        # IoU(full-image GT, ROI) == ROI area here
+        assert rw * rh >= 0.1 - 1e-6, (seed, rw, rh)
+        assert 0 - 1e-6 <= rx <= 1 - rw + 1e-6
+        assert 0 - 1e-6 <= ry <= 1 - rh + 1e-6
 
 
 def test_grad_does_not_flow_through_aug_rng():
