@@ -1,15 +1,17 @@
 """Host-aug vs device-aug mAP equivalence (VERDICT r4 #3).
 
-DEVICE_AUG substitutes approximations (hue -> per-channel gain, min-IoU
-crop -> center-rule crop). tests/test_augment_drift.py bounds the
-distribution drift; THIS test proves the training-outcome equivalence the
-recommendation actually rests on: the 5-class CLI oracle trained with the
-host pipeline and with DEVICE_AUG (identical config/steps otherwise) must
-both solve the task and land within a small mAP delta.
+History: the original device recipe (hue -> channel gains, single-scale
+unconstrained affine, photometric on mean-subtracted values) measurably
+under-trained — round-5 experiment runs on the TPU chip
+(tools/aug_map_parity.py, 5-class CLI oracle, 70 epochs): host 0.9995 vs
+device 0.8333. A repeat showed the 70-epoch oracle itself is noisy (host
+0.8313 on a second run — unseeded host RNG), so the recipe was rewritten
+as a faithful distribution port (ops/augment_device.py round-5 docstring)
+AND the protocol moved to saturation: at 120 epochs, measured 2026-08-20
+on-chip: **host 1.0000, device 1.0000, delta 0.0** (docs/STATUS.md).
 
-Measured on the TPU chip (2026-08-20, 70 epochs): host 0.9924 vs device
-0.9971, delta 0.005 — see docs/STATUS.md. The bar here is looser (the CPU
-test runs fewer epochs): both >= 0.85, delta <= 0.08.
+This test pins that result. Bars are slightly loose for backend noise:
+both legs >= 0.95, |delta| <= 0.05.
 """
 
 import os
@@ -26,9 +28,9 @@ pytestmark = pytest.mark.slow
 def test_host_and_device_aug_reach_equivalent_map(tmp_path):
     from aug_map_parity import run_one
 
-    epochs, lr_step = 60, 45
+    epochs, lr_step = 120, 90
     map_host = run_one(False, str(tmp_path), epochs, lr_step)
     map_dev = run_one(True, str(tmp_path), epochs, lr_step)
-    assert map_host >= 0.85, f"host-aug mAP {map_host}"
-    assert map_dev >= 0.85, f"device-aug mAP {map_dev}"
-    assert abs(map_host - map_dev) <= 0.08, (map_host, map_dev)
+    assert map_host >= 0.95, f"host-aug mAP {map_host}"
+    assert map_dev >= 0.95, f"device-aug mAP {map_dev}"
+    assert abs(map_host - map_dev) <= 0.05, (map_host, map_dev)
