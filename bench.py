@@ -110,7 +110,7 @@ def _sync(out):
 # --------------------------------------------------------------------------
 
 def _stage_inference(fused: bool, size: int = 300, batch: int = 1,
-                     int8: bool = False):
+                     int8: bool = False, also_batches=()):
     os.environ["SSDS_TPU_FUSED_PREDICT"] = "1" if fused else "0"
     import numpy as np
 
@@ -185,6 +185,36 @@ def _stage_inference(fused: bool, size: int = 300, batch: int = 1,
         out["latency_note"] = ("wall p50 includes ~27ms host<->device tunnel "
                                "RTT unique to this bench host; p50_device_ms "
                                "is the chip-side program time")
+    # Extra batch sizes on the SAME built (and possibly quantized) model —
+    # round-5 sweep (tools/serve_batch_sweep.py) found serving throughput
+    # peaks at batch 128, not 32: fp 1645->2039 img/s (MFU 0.50->0.62),
+    # int8 2506->2838; batch 256 regresses (1823/2455). The b32 rows stay
+    # for cross-round comparability; these sub-rows carry the peak.
+    for extra_batch in also_batches:
+        xb = jnp.asarray(
+            rng.integers(0, 255, (extra_batch, size, size, 3), dtype=np.uint8))
+        for _ in range(10):
+            det._predict(det.variables, xb)
+        _sync(det._predict(det.variables, xb))
+
+        def run_xb(iters):
+            o = None
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                o = det._predict(det.variables, xb)
+            _sync(o)
+            return time.perf_counter() - t0
+
+        run_xb(20)
+        xb_per_step, xb_spread = _robust_measure(run_xb, 20)
+        sub = {"value": round(extra_batch / xb_per_step, 2),
+               "unit": f"images/sec (batch-{extra_batch}, pipelined, one "
+                       f"chip, {mode} predict; median of 5 of 7)",
+               "spread_pct": xb_spread}
+        if not int8:
+            sub["mfu"] = _mfu(_xla_flops(det._predict, det.variables, xb),
+                              xb_per_step)
+        out[f"b{extra_batch}"] = sub
     print(json.dumps(out), flush=True)
 
 
@@ -481,8 +511,10 @@ STAGES = {
     "split": lambda: _stage_inference(fused=False),
     "fused512": lambda: _stage_inference(fused=True, size=512),
     "split512": lambda: _stage_inference(fused=False, size=512),
-    "serve32": lambda: _stage_inference(fused=True, batch=32),
-    "int8_32": lambda: _stage_inference(fused=True, batch=32, int8=True),
+    "serve32": lambda: _stage_inference(fused=True, batch=32,
+                                        also_batches=(128,)),
+    "int8_32": lambda: _stage_inference(fused=True, batch=32, int8=True,
+                                        also_batches=(128,)),
     "int8_b1": lambda: _stage_inference(fused=True, batch=1, int8=True),
     "train": _stage_train,
     "train_loader": _stage_train_loader,
@@ -592,7 +624,7 @@ def main():
     budget_s = float(os.environ.get("SSDS_BENCH_BUDGET_S", "1200"))
     skipped = []
     # round-4 measured warm-cache wall seconds per stage (PROGRESS r4 tail)
-    expected_s = {"train": 140, "serve32": 190, "int8_32": 420,
+    expected_s = {"train": 140, "serve32": 280, "int8_32": 500,
                   "fused512": 210, "split512": 210, "train_loader": 200,
                   "acc_ssdlite_mbv2": 160, "acc_fssd300": 130,
                   "acc_rfb300": 270, "acc_yolov3": 300, "acc_ssd512": 300}
