@@ -166,3 +166,51 @@ def test_pre_nms_prune_inactive_below_batch4():
     out_gated = np.asarray(detect(jnp.asarray(loc), jnp.asarray(conf),
                                   jnp.asarray(priors), gated_cfg))
     np.testing.assert_array_equal(out_exact, out_gated)
+
+
+def test_onehot_gather_bit_exact():
+    """The batch>=4 one-hot-matmul gathers must match the fancy-index
+    gather BIT-for-bit (ops/postprocess._gather_rows_exact: 0/1 one-hot x
+    Precision.HIGHEST reconstructs the f32 rows exactly — the round-5
+    formulation that halves the COCO postprocess tail)."""
+    import jax
+
+    from ssds_tpu.ops.postprocess import _gather_rows_exact
+
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.uniform(0, 1, (4, 257, 4)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 257, (4, 513)).astype(np.int32))
+    via_dot = np.asarray(jax.jit(_gather_rows_exact, static_argnums=2)(
+        src, idx, 257))
+    via_index = np.asarray(jax.vmap(lambda b, i: b[i])(src, idx))
+    np.testing.assert_array_equal(via_dot, via_index)
+
+
+def test_detect_batch4_matches_batch1_rows():
+    """The batched (>=4) detect path — one-hot gathers — must give each
+    image the rows the batch-1 path gives it. Tolerance 1e-6, not bitwise:
+    the two batch sizes are DIFFERENT compiled programs and XLA's FMA
+    contraction in decode may differ by 1 ulp between them (observed
+    7.5e-9 on one coordinate on CPU); the gather formulations themselves
+    are bit-exact given identical inputs (test_onehot_gather_bit_exact)."""
+    rng = np.random.default_rng(11)
+    B, K, C = 4, 256, 6
+    xy = rng.uniform(0.05, 0.8, (K, 2))
+    wh = rng.uniform(0.05, 0.15, (K, 2))
+    priors = np.asarray(center_size(jnp.asarray(
+        np.concatenate([xy, xy + wh], 1).astype(np.float32))))
+    loc = rng.normal(0, 0.1, (B, K, 4)).astype(np.float32)
+    conf = rng.uniform(0.0, 0.2, (B, K, C)).astype(np.float32)
+    for b in range(B):
+        hot = rng.integers(0, K, 30)
+        conf[b, hot, 1 + (hot % (C - 1))] = rng.uniform(0.3, 0.95, 30)
+    cfg = PostProcessConfig(num_classes=C, score_threshold=0.1,
+                            iou_threshold=0.5, max_detections=10,
+                            top_k=32, pre_nms_top_n=0)
+    batched = np.asarray(detect(jnp.asarray(loc), jnp.asarray(conf),
+                                jnp.asarray(priors), cfg))
+    for b in range(B):
+        single = np.asarray(detect(jnp.asarray(loc[b:b + 1]),
+                                   jnp.asarray(conf[b:b + 1]),
+                                   jnp.asarray(priors), cfg))
+        np.testing.assert_allclose(batched[b], single[0], atol=1e-6)
