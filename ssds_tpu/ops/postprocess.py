@@ -102,6 +102,25 @@ def _gather_rows_exact(src, idx, n):
         precision=jax.lax.Precision.HIGHEST)
 
 
+def _gather_rows_exact_per_class(src, idx_bck, n):
+    """Per-class chunked variant of :func:`_gather_rows_exact` for indices
+    with a ``[B, C, K]`` class structure: one small ``[B,K,N]x[B,N,D]`` dot
+    per class via ``lax.map`` instead of one ``[B,C*K,N]`` dot. Same
+    bit-exact result; measured 1.9 ms faster at the 81-class COCO serving
+    shape (the big dot's output layout, forced by the NMS consumer, tiles
+    poorly — the chunked writes don't; tools/gather_variants_bench.py
+    session notes in BENCH_NOTES).
+    """
+    def per_class(c_idx):  # [B, K] -> [B, K, D]
+        oh = jax.nn.one_hot(c_idx, n, dtype=jnp.float32)
+        return jax.lax.dot_general(
+            oh, src, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)
+
+    out = jax.lax.map(per_class, jnp.swapaxes(idx_bck, 0, 1))  # [C, B, K, D]
+    return jnp.swapaxes(out, 0, 1)  # [B, C, K, D]
+
+
 def _detect_batched(boxes_per_class, scores, config: PostProcessConfig):
     """Shared tail: per-class top-k, batched NMS, compact, zero background.
 
@@ -148,7 +167,16 @@ def _detect_batched(boxes_per_class, scores, config: PostProcessConfig):
         # fuse reliably behind the conv forward (tools/fused_probe.py round
         # 2: fused broadcast+take_along_axis crashes the TPU worker; the
         # vmapped fancy-index gather is clean).
-        if b >= 4:
+        if b >= 4 and c >= 32:
+            # Many classes (COCO): the big [B,C*top_k,N] dot's output
+            # layout, forced by the NMS consumer, tiles poorly — the
+            # per-class chunked dots measure 2x faster (2.5 vs 4.4 ms in
+            # context at C=81) and took SSDLite-COCO b32 serving
+            # 3592 -> 4497 img/s. Few classes (VOC): the big dot is equal
+            # at fp and ~7% faster at int8 b128, so it stays below C=32.
+            cand_boxes = _gather_rows_exact_per_class(
+                boxes_per_class[:, 0], cand_idx, k)  # [B, C, top_k, 4]
+        elif b >= 4:
             cand_boxes = _gather_rows_exact(
                 boxes_per_class[:, 0], cand_idx.reshape(b, -1), k
             ).reshape(b, c, top_k, 4)
