@@ -214,3 +214,50 @@ def test_detect_batch4_matches_batch1_rows():
                                    jnp.asarray(conf[b:b + 1]),
                                    jnp.asarray(priors), cfg))
         np.testing.assert_allclose(batched[b], single[0], atol=1e-6)
+
+
+def test_onehot_gather_per_class_bit_exact():
+    """The C>=32 per-class chunked one-hot gather must equal the
+    fancy-index gather bit-for-bit (ops/postprocess.
+    _gather_rows_exact_per_class — the COCO-class-count serving path; no
+    small-C fast test reaches it, so pin the primitive directly)."""
+    import jax
+
+    from ssds_tpu.ops.postprocess import _gather_rows_exact_per_class
+
+    rng = np.random.default_rng(13)
+    B, N, C, K = 4, 130, 40, 17
+    src = jnp.asarray(rng.uniform(0, 1, (B, N, 4)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, N, (B, C, K)).astype(np.int32))
+    via_dot = np.asarray(jax.jit(
+        _gather_rows_exact_per_class, static_argnums=2)(src, idx, N))
+    via_index = np.asarray(jax.vmap(lambda b, i: b[i])(
+        src, idx.reshape(B, C * K))).reshape(B, C, K, 4)
+    np.testing.assert_array_equal(via_dot, via_index)
+
+
+def test_detect_many_classes_chunked_path():
+    """detect at C=40, batch 4 (the chunked-gather branch) recovers a
+    planted box per image exactly like the batch-1 path does."""
+    rng = np.random.default_rng(17)
+    B, K, C = 4, 128, 40
+    xy = rng.uniform(0.05, 0.8, (K, 2))
+    wh = rng.uniform(0.05, 0.15, (K, 2))
+    priors = np.asarray(center_size(jnp.asarray(
+        np.concatenate([xy, xy + wh], 1).astype(np.float32))))
+    loc = rng.normal(0, 0.05, (B, K, 4)).astype(np.float32)
+    conf = rng.uniform(0.0, 0.2, (B, K, C)).astype(np.float32)
+    for b in range(B):
+        hot = rng.integers(0, K, 12)
+        conf[b, hot, 1 + (hot % (C - 1))] = rng.uniform(0.4, 0.95, 12)
+    cfg = PostProcessConfig(num_classes=C, score_threshold=0.1,
+                            iou_threshold=0.5, max_detections=10,
+                            top_k=32, pre_nms_top_n=0)
+    batched = np.asarray(detect(jnp.asarray(loc), jnp.asarray(conf),
+                                jnp.asarray(priors), cfg))
+    assert (batched[..., 0] > 0).sum() > B
+    for b in range(B):
+        single = np.asarray(detect(jnp.asarray(loc[b:b + 1]),
+                                   jnp.asarray(conf[b:b + 1]),
+                                   jnp.asarray(priors), cfg))
+        np.testing.assert_allclose(batched[b], single[0], atol=1e-6)
