@@ -74,6 +74,18 @@ def _nms_mask(flat_boxes, flat_scores, iou_threshold):
     return sorted_nms_tiled(flat_boxes, flat_scores, iou_threshold)
 
 
+def _static_ge(dim, n: int) -> bool:
+    """``dim >= n`` for a static trace-time dimension, False when ``dim``
+    is a symbolic dimension whose relation to ``n`` is inconclusive (the
+    ``jax.export`` symbolic-batch path: artifacts must serve ANY batch
+    size, so symbolic batches take the formulation that is correct and
+    proven at every size — the fancy-index gather and no prune)."""
+    try:
+        return bool(dim >= n)
+    except Exception:  # jax InconclusiveDimensionOperation
+        return False
+
+
 def _gather_rows_exact(src, idx, n):
     """``src[b, idx[b, m]]`` as a one-hot matmul — BIT-EXACT and much faster
     than the fancy-index gather when the gathered buffer must be
@@ -139,7 +151,8 @@ def _detect_batched(boxes_per_class, scores, config: PostProcessConfig):
     bg_col = jnp.arange(c) == config.background_label
     masked = jnp.where(bg_col[None, :, None], NEG_INF, masked)
 
-    if 0 < config.pre_nms_top_n < k and boxes_per_class.shape[1] == 1 and b >= 4:
+    if (0 < config.pre_nms_top_n < k and boxes_per_class.shape[1] == 1
+            and _static_ge(b, 4)):
         # Class-agnostic prune (see PostProcessConfig.pre_nms_top_n): one
         # cheap [B,K] top-k by max-class score replaces most of the
         # per-class [B,C,K] sort work. Gated on batch >= 4 (a static,
@@ -167,7 +180,7 @@ def _detect_batched(boxes_per_class, scores, config: PostProcessConfig):
         # fuse reliably behind the conv forward (tools/fused_probe.py round
         # 2: fused broadcast+take_along_axis crashes the TPU worker; the
         # vmapped fancy-index gather is clean).
-        if b >= 4 and c >= 32:
+        if _static_ge(b, 4) and c >= 32:
             # Many classes (COCO): the big [B,C*top_k,N] dot's output
             # layout, forced by the NMS consumer, tiles poorly — the
             # per-class chunked dots measure 2x faster (2.5 vs 4.4 ms in
@@ -176,7 +189,7 @@ def _detect_batched(boxes_per_class, scores, config: PostProcessConfig):
             # at fp and ~7% faster at int8 b128, so it stays below C=32.
             cand_boxes = _gather_rows_exact_per_class(
                 boxes_per_class[:, 0], cand_idx, k)  # [B, C, top_k, 4]
-        elif b >= 4:
+        elif _static_ge(b, 4):
             cand_boxes = _gather_rows_exact(
                 boxes_per_class[:, 0], cand_idx.reshape(b, -1), k
             ).reshape(b, c, top_k, 4)
@@ -204,7 +217,7 @@ def _detect_batched(boxes_per_class, scores, config: PostProcessConfig):
     out_k = min(config.max_detections, top_k)
     kept_scores = jnp.where(keep, cand_scores, NEG_INF)
     final_s, final_i = jax.lax.top_k(kept_scores, out_k)  # [B, C, out_k]
-    if b >= 4:
+    if _static_ge(b, 4):
         # Same one-hot-matmul trade as the candidate gather above: this
         # [B*C, out_k] row gather from the materialized candidate boxes was
         # 2.4 ms of the 12.7 ms COCO batch-32 program as take_along_axis.
