@@ -152,6 +152,49 @@ class ObjectDetector:
         jax.block_until_ready(self._predict(self.variables, dummy))
         return quant.num_quantized(self.variables)
 
+    def predict_batch(self, imgs, threshold: float = 0.6):
+        """Batched :meth:`predict` — one fused device program for N images.
+
+        The reference's ``ObjectDetector.predict`` (lib/ssds.py:~60) is
+        single-image; this additive API is the batched-serving surface
+        between it and the export artifact: images of ANY sizes are
+        host-resized, stacked, pushed through ONE jitted
+        preprocess→forward→detect program (batch >= 4 engages the pruned +
+        one-hot-gather throughput path, ops/postprocess.py), and each
+        image's detections are rescaled to its own original size.
+
+        Note: a distinct batch size compiles a distinct XLA program (first
+        call per size is slow) — keep the batch size constant in serving
+        loops and pad the final partial batch if needed.
+
+        Args:
+          imgs: sequence of HWC BGR uint8 arrays (sizes may differ).
+          threshold: score filter applied per image.
+
+        Returns:
+          list of ``(boxes_px [N,4], labels [N], scores [N])`` tuples, one
+          per input image, in order.
+        """
+        h, w = self.img_hw
+        x = np.stack([
+            cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+            for img in imgs]).astype(np.uint8)
+        dets = np.asarray(jax.block_until_ready(
+            self._predict(self.variables, x)))  # [B, C, K, 5]
+        results = []
+        for img, rows in zip(imgs, dets):
+            orig_h, orig_w = img.shape[:2]
+            scale = np.array([orig_w, orig_h, orig_w, orig_h], np.float32)
+            cls, slot = np.nonzero(rows[..., 0] > threshold)
+            picked = rows[cls, slot]
+            order = np.argsort(-picked[:, 0], kind="stable")
+            results.append((
+                picked[order, 1:5] * scale,
+                (cls[order] - 1).astype(np.int32),  # drop background offset
+                picked[order, 0].astype(np.float32),
+            ))
+        return results
+
     def predict(self, img: np.ndarray, threshold: float = 0.6, check_time: bool = False):
         """img: HWC BGR uint8 (any size). Returns (boxes_px [N,4], labels
         [N], scores [N]) above threshold; with check_time, also a dict of

@@ -47,3 +47,28 @@ def test_predict_shapes_and_scaleback():
     (b2, l2, s2), times = det.predict(img, threshold=0.5, check_time=True)
     for k in ("preprocess", "forward_detect", "postfilter", "total"):
         assert times[k] >= 0.0
+
+
+def test_predict_batch_matches_predict():
+    """predict_batch over 4 differently-sized images (the batch>=4
+    throughput path) must return, per image, the same detections as
+    single-image predict — same set of (label, score, box) rows within
+    float tolerance (different compiled programs may differ by ~1 ulp in
+    decode)."""
+    det = ObjectDetector(tiny_cfg())
+    rng = np.random.default_rng(1)
+    sizes = [(240, 320), (120, 160), (300, 300), (64, 200)]
+    imgs = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8) for h, w in sizes]
+    batched = det.predict_batch(imgs, threshold=0.1)
+    assert len(batched) == len(imgs)
+    for img, (bb, bl, bs) in zip(imgs, batched):
+        sb, sl, ss = det.predict(img, threshold=0.1)
+        assert bb.shape == sb.shape and len(bl) == len(sl)
+        # single predict emits in class-major order; batched emits
+        # score-descending — compare as sorted row sets
+        def rows(b, l, s):
+            r = np.concatenate([s[:, None], l[:, None].astype(np.float32),
+                                b], axis=1)
+            return r[np.lexsort(r.T[::-1])]
+        np.testing.assert_allclose(rows(bb, bl, bs), rows(sb, sl, ss),
+                                   atol=1e-4)
