@@ -545,6 +545,14 @@ class ConvBNReLU(nn.Module):
 
     The reference's ``conv_bn`` (lib/modeling/nets/mobilenet.py) and the
     conv-leaky-BN stacks of darknet share this block (act='leaky').
+
+    Serving-time int8 mirrors :class:`Conv` (ssds_tpu/quant.py): the input
+    absmax is sow'd during calibration, and when the kernel's dtype is
+    int8 the conv runs ``s8 x s8 -> s32`` on the MXU with the dequant
+    epilogue in float — BN (eval-mode affine) and the activation then fuse
+    behind it, so BN folding is unnecessary. Depthwise instances
+    (``groups == in_ch``) sow too but are never quantized
+    (quant.quantize_variables skips ``kernel.shape[2] == 1``).
     """
 
     features: int
@@ -558,16 +566,34 @@ class ConvBNReLU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = self.padding
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=x.dtype,
-        )(x)
+        sub = (self.get_variable("params", "Conv_0")
+               if self.has_variable("params", "Conv_0") else None)
+        if sub is not None and sub["kernel"].dtype == jnp.int8:
+            from ssds_tpu import quant as _q
+
+            acc = _q.int8_conv(
+                _q.quantize_act(x, self.get_variable("quant", "act_scale")),
+                sub["kernel"], stride=(self.stride, self.stride),
+                padding=((p, p), (p, p)),
+                dilation=(self.dilation, self.dilation), groups=self.groups)
+            x = _q.dequant(acc, self.get_variable("quant", "act_scale"),
+                           self.get_variable("quant", "w_scale"), None,
+                           x.dtype)
+        else:
+            if not self.is_initializing() and x.size > 0:
+                self.sow("quant_calib", "act_absmax",
+                         jnp.max(jnp.abs(x.astype(jnp.float32))))
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=((p, p), (p, p)),
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=False,
+                dtype=x.dtype,
+                name="Conv_0",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=x.dtype
         )(x)

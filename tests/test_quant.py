@@ -125,8 +125,10 @@ def test_detector_quantize_int8_lite_head():
 
 
 def test_batch_stats_models_quantize():
-    """ConvBNReLU backbones (BN collections) pass through quantize_variables
-    untouched in structure; only plain-Conv kernels flip dtype."""
+    """ConvBNReLU backbones (BN collections) quantize too (round-5: the
+    BN block mirrors Conv's calib sow + int8 branch — the dequant epilogue
+    runs before the eval-mode BN affine, no folding needed); batch_stats
+    structure is untouched and outputs stay close to fp."""
     cfg = default_config()
     cfg.MODEL.SSDS = "ssd_lite"
     cfg.MODEL.NETS = "mobilenet_v2_025"
@@ -154,7 +156,12 @@ def test_batch_stats_models_quantize():
             variables["batch_stats"])
     out_f = model.apply(variables, x, phase="eval", train=False)
     out_q = model.apply(qvars, x, phase="eval", train=False)
-    assert float(jnp.max(jnp.abs(out_f[1] - out_q[1]))) < 0.15
+    # Bound re-measured when ConvBNReLU quantization landed (round 5): a
+    # RANDOM-weight fully-quantized backbone measures ~0.24 max conf diff
+    # (random weights are PTQ's worst case — no calibration-representative
+    # activation distribution). Trained-model accuracy is guarded by
+    # test_int8_preserves_detections_after_overfit.
+    assert float(jnp.max(jnp.abs(out_f[1] - out_q[1]))) < 0.5
 
 
 def test_int8_preserves_detections_after_overfit():
@@ -199,3 +206,34 @@ def test_int8_preserves_detections_after_overfit():
           f"dscore={abs(best_q[0] - best_f[0]):.4f}")
     assert iou(best_q[1:], best_f[1:]) > 0.5, (best_q[1:], best_f[1:])
     assert abs(best_q[0] - best_f[0]) < 0.25, (best_q[0], best_f[0])
+
+
+def test_bn_backbone_quantizes_whole_network():
+    """A pure-ConvBNReLU model (darknet backbone, YOLO head) must quantize
+    its BACKBONE convs, not just the plain-Conv head (round-5 gap: before
+    the ConvBNReLU int8 branch only 1 of 23 quantizable kernels went int8
+    on this config). Detections must survive quantization."""
+    from ssds_tpu.detector import ObjectDetector
+
+    cfg = default_config()
+    cfg.MODEL.SSDS = "yolo_v2"
+    cfg.MODEL.NETS = "darknet_19"
+    cfg.MODEL.IMAGE_SIZE = [96, 96]
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.MODEL.FEATURE_LAYER = [[10, 12], [256, 512]]
+    cfg.MODEL.ASPECT_RATIOS = [[2], [2]]
+    cfg.MODEL.SIZES = [0.3, 0.5, 0.7]
+    cfg.MODEL.HALF_PRECISION = False
+    cfg.POST_PROCESS.NUM_CLASSES = 4
+    det = ObjectDetector(cfg)
+    img = np.random.default_rng(0).integers(0, 255, (120, 160, 3),
+                                            dtype=np.uint8)
+    _, _, s_fp = det.predict(img, threshold=0.0)
+    n = det.quantize_int8()
+    assert n >= 20, f"only {n} kernels quantized — BN convs not covered"
+    boxes, labels, s_q = det.predict(img, threshold=0.0)
+    assert np.isfinite(boxes).all()
+    # random-weight model: top scores should track fp closely
+    top_fp = np.sort(s_fp)[-10:]
+    top_q = np.sort(s_q)[-10:]
+    assert float(np.max(np.abs(top_fp - top_q))) < 0.1
